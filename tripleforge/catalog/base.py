@@ -1,0 +1,50 @@
+"""Catalog interface (SURVEY.md §7.4).
+
+BASELINE.json mandates "materializing deduplicated named-graph
+partitions into Iceberg tables ... a failed run resumes from the last
+committed Iceberg snapshot checkpoint". The sandbox has no Iceberg
+runtime jar and no network (SURVEY §0.4), so the engine programs
+against this thin interface: ``ParquetSnapshotCatalog`` implements
+Iceberg-equivalent snapshot semantics over plain Parquet + an atomic
+JSON snapshot log; ``IcebergCatalog`` is the config switch used on a
+real cluster where the jar exists.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+from pyspark.sql import DataFrame
+
+
+class Catalog(ABC):
+    """Snapshot-versioned statement store with lineage."""
+
+    @abstractmethod
+    def commit_snapshot(
+        self,
+        statements: DataFrame,
+        lineage: DataFrame,
+        run_id: str,
+        operation: str = "append",
+    ) -> int:
+        """Atomically commit statements + their lineage rows as one new
+        snapshot; returns the snapshot id. Idempotent per ``run_id``:
+        re-committing an already-committed run is a no-op (returns the
+        existing id) — the resume safety property (A22)."""
+
+    @abstractmethod
+    def read_statements(self, snapshot_id: int | None = None) -> DataFrame:
+        """All live statements as of ``snapshot_id`` (default: latest)."""
+
+    @abstractmethod
+    def read_lineage(self) -> DataFrame:
+        """All committed lineage rows."""
+
+    @abstractmethod
+    def latest_snapshot_id(self) -> int | None: ...
+
+    def committed_units(self) -> DataFrame:
+        """Distinct (repo, commit) already committed — the resume
+        anti-join's right side (A22)."""
+        return self.read_lineage().select("repo", "commit").dropDuplicates()

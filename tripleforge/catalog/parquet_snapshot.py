@@ -1,0 +1,150 @@
+"""Iceberg-like snapshot catalog over plain Parquet (SURVEY.md §7.4).
+
+Layout under ``root``::
+
+    data/snap=<id>/graph_bucket=<b>/*.parquet   statement data files
+    lineage/snap=<id>/*.parquet                 lineage rows of snapshot
+    _snapshots/v<id>.json                       snapshot manifest
+
+Commit protocol (exactly-once without Iceberg):
+1. data + lineage are written to snapshot-scoped directories — never
+   touched again (immutable, like Iceberg data files);
+2. the manifest (listing the COMPLETE live data-path set after this
+   snapshot, Iceberg-style) is written to a temp name and
+   ``os.rename``-ed into place — atomic on POSIX;
+3. readers resolve the latest ``v*.json`` and read exactly its
+   ``live_paths`` — a torn/failed run's orphan directories are
+   invisible because no manifest references them;
+4. idempotence: a manifest with the same ``run_id`` short-circuits
+   re-commit, so a retried driver can't double-append (A22).
+
+Snapshot isolation, time travel (``snapshot_id=``), append and
+overwrite ops — the subset of Iceberg semantics the pipeline needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tripleforge.catalog.base import Catalog
+from tripleforge.io import N_GRAPH_BUCKETS, with_graph_bucket
+from tripleforge.schema import STATEMENT
+
+
+class ParquetSnapshotCatalog(Catalog):
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = N_GRAPH_BUCKETS):
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
+
+    # --- manifest helpers ---------------------------------------------------
+    def _snap_dir(self) -> str:
+        return os.path.join(self.root, "_snapshots")
+
+    def _manifests(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self._snap_dir())):
+            if f.startswith("v") and f.endswith(".json"):
+                with open(os.path.join(self._snap_dir(), f)) as fh:
+                    out.append(json.load(fh))
+        return sorted(out, key=lambda m: m["snapshot_id"])
+
+    def latest_snapshot_id(self) -> int | None:
+        ms = self._manifests()
+        return ms[-1]["snapshot_id"] if ms else None
+
+    def _manifest_for(self, snapshot_id: int | None) -> dict | None:
+        ms = self._manifests()
+        if not ms:
+            return None
+        if snapshot_id is None:
+            return ms[-1]
+        eligible = [m for m in ms if m["snapshot_id"] <= snapshot_id]
+        return eligible[-1] if eligible else None
+
+    # --- commit --------------------------------------------------------------
+    def commit_snapshot(
+        self,
+        statements: DataFrame,
+        lineage: DataFrame,
+        run_id: str,
+        operation: str = "append",
+        replace_paths: list[str] | None = None,
+    ) -> int:
+        for m in self._manifests():
+            if m["run_id"] == run_id:
+                return m["snapshot_id"]  # idempotent re-commit
+        parent = self._manifest_for(None)
+        sid = (parent["snapshot_id"] + 1) if parent else 1
+
+        data_rel = f"data/snap={sid}"
+        data_path = os.path.join(self.root, data_rel)
+        (
+            with_graph_bucket(statements.select(*[f.name for f in STATEMENT.fields]), self.n_buckets)
+            .repartition(self.n_buckets, F.col("graph_bucket"))
+            .write.partitionBy("graph_bucket")
+            .mode("errorifexists")
+            .parquet(data_path)
+        )
+        lineage_rel = f"lineage/snap={sid}"
+        if "snapshot_id" not in lineage.columns:
+            lineage = lineage.withColumn("snapshot_id", F.lit(sid).cast("long"))
+        lineage.write.mode("errorifexists").parquet(
+            os.path.join(self.root, lineage_rel)
+        )
+
+        if operation == "overwrite":
+            live = (replace_paths or []) + [data_rel]
+        else:
+            live = (parent["live_paths"] if parent else []) + [data_rel]
+        manifest = {
+            "snapshot_id": sid,
+            "run_id": run_id,
+            "parent": parent["snapshot_id"] if parent else None,
+            "operation": operation,
+            "live_paths": live,
+            "lineage_paths": (parent["lineage_paths"] if parent else []) + [lineage_rel],
+            "committed_at": time.time(),
+        }
+        tmp = os.path.join(self._snap_dir(), f".v{sid}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(self._snap_dir(), f"v{sid}.json"))
+        return sid
+
+    # --- read ----------------------------------------------------------------
+    def read_statements(self, snapshot_id: int | None = None) -> DataFrame:
+        m = self._manifest_for(snapshot_id)
+        if m is None or not m["live_paths"]:
+            return self.spark.createDataFrame([], with_graph_bucket_schema())
+        paths = [os.path.join(self.root, p) for p in m["live_paths"]]
+        return self.spark.read.option(
+            "basePath", os.path.join(self.root)
+        ).parquet(*paths)
+
+    def read_lineage(self) -> DataFrame:
+        m = self._manifest_for(None)
+        if m is None or not m["lineage_paths"]:
+            from tripleforge.schema import LINEAGE
+
+            cols = [f.name for f in LINEAGE.fields if f.name in ("repo", "commit", "parser", "n_files", "n_triples", "n_errors", "checksum")]
+            return self.spark.createDataFrame([], "repo string, commit string, parser string, n_files long, n_triples long, n_errors long, checksum string")
+        paths = [os.path.join(self.root, p) for p in m["lineage_paths"]]
+        return self.spark.read.parquet(*paths)
+
+    def live_paths(self) -> list[str]:
+        m = self._manifest_for(None)
+        return list(m["live_paths"]) if m else []
+
+
+def with_graph_bucket_schema():
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    return StructType(STATEMENT.fields + [StructField("graph_bucket", IntegerType(), True)])

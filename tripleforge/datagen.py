@@ -1,0 +1,186 @@
+"""Deterministic synthetic RDF corpus generator (FIXTURES.md §1).
+
+Builds rows in the mandated input shape
+``(repo, path, commit, lang, content)`` from closed template pools with
+``random.Random(seed)`` so expected triples are computable in closed
+form by the oracle parser (tests/oracle_rdf.py). No external data.
+
+Knobs:
+- ``skew``: one "giant repo" gets ``skew``× the files — exercises
+  salt-and-split (A13/A23).
+- ``error_rate``: fraction of files containing a malformed line —
+  exercises the error channel (A8).
+- ``dup_rate``: fraction of statements duplicated across files of the
+  same repo — exercises dedup (A18).
+- ``link_rate``: fraction of subjects joined into cross-repo
+  ``owl:sameAs`` chains — exercises linking + connected components
+  (A12-A17).
+- ``formats``: mix of serializations to emit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass, field
+
+from tripleforge.schema import OWL_SAMEAS
+
+_PRED_POOL = [f"http://example.org/vocab/p{i}" for i in range(20)]
+_TYPE_POOL = [f"http://example.org/vocab/T{i}" for i in range(5)]
+_WORD_POOL = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+    "golf", "hotel", "india", "juliet", "kilo", "lima",
+]
+
+
+@dataclass
+class CorpusSpec:
+    n_repos: int = 4
+    files_per_repo: int = 5
+    stmts_per_file: int = 20
+    seed: int = 42
+    skew: int = 1
+    error_rate: float = 0.0
+    dup_rate: float = 0.0
+    link_rate: float = 0.0
+    formats: tuple[str, ...] = ("nt",)
+    extra: dict = field(default_factory=dict)
+
+
+def _commit_of(repo: str, path: str) -> str:
+    return hashlib.sha1(f"{repo}:{path}:rev0".encode()).hexdigest()
+
+
+_EXT = {"nt": "nt", "nq": "nq", "ttl": "ttl", "rdfxml": "rdf"}
+_LANG = {"nt": "N-Triples", "nq": "N-Quads", "ttl": "Turtle", "rdfxml": "RDF/XML"}
+
+
+def _subject_iri(repo: str, i: int) -> str:
+    return f"http://example.org/{repo}/e{i}"
+
+
+def _mk_statement(rng: random.Random, subj: str) -> str:
+    """One N-Triples line (the lingua franca; other formats are derived)."""
+    pred = rng.choice(_PRED_POOL)
+    kind = rng.randrange(5)
+    if kind == 0:
+        obj = f"<http://example.org/obj/{rng.randrange(1000)}>"
+    elif kind == 1:
+        obj = f'"{rng.choice(_WORD_POOL)} {rng.choice(_WORD_POOL)}"'
+    elif kind == 2:
+        obj = f'"{rng.randrange(10000)}"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    elif kind == 3:
+        obj = f'"{rng.choice(_WORD_POOL)}"@en'
+    else:
+        pred = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        obj = f"<{rng.choice(_TYPE_POOL)}>"
+    return f"<{subj}> <{pred}> {obj} ."
+
+
+def _to_ttl(nt_lines: list[str]) -> str:
+    # A valid Turtle document: N-Triples is a subset of Turtle; prepend a
+    # no-op prefix so the Turtle code path is genuinely exercised.
+    return "@prefix ex: <http://example.org/> .\n" + "\n".join(nt_lines) + "\n"
+
+
+def _to_nq(nt_lines: list[str], graph: str) -> str:
+    out = []
+    for ln in nt_lines:
+        out.append(ln[:-1].rstrip() + f" <{graph}> .")
+    return "\n".join(out) + "\n"
+
+
+def generate_corpus(spec: CorpusSpec) -> list[tuple[str, str, str, str, str]]:
+    """→ list of (repo, path, commit, lang, content) rows."""
+    rng = random.Random(spec.seed)
+    rows: list[tuple[str, str, str, str, str]] = []
+    repos = [f"org{i // 10}/repo{i}" for i in range(spec.n_repos)]
+    link_targets: list[str] = []
+
+    for ri, repo in enumerate(repos):
+        n_files = spec.files_per_repo * (spec.skew if ri == 0 else 1)
+        for fi in range(n_files):
+            fmt = spec.formats[(ri + fi) % len(spec.formats)]
+            path = f"data/f{fi}.{_EXT[fmt]}"
+            lines = []
+            for si in range(spec.stmts_per_file):
+                subj = _subject_iri(repo, fi * spec.stmts_per_file + si)
+                lines.append(_mk_statement(rng, subj))
+                if spec.dup_rate and rng.random() < spec.dup_rate:
+                    lines.append(lines[-1])
+                if spec.link_rate and rng.random() < spec.link_rate:
+                    if link_targets:
+                        other = rng.choice(link_targets)
+                        lines.append(f"<{subj}> <{OWL_SAMEAS}> <{other}> .")
+                    link_targets.append(subj)
+            if spec.error_rate and rng.random() < spec.error_rate:
+                lines.insert(
+                    rng.randrange(len(lines)), "<http://bad truncated line"
+                )
+            if fmt == "ttl":
+                content = _to_ttl(lines)
+            elif fmt == "nq":
+                content = _to_nq(lines, f"http://example.org/graph/{repo}")
+            elif fmt == "rdfxml":
+                content = _nt_to_rdfxml(lines)
+            else:
+                content = "\n".join(lines) + "\n"
+            rows.append((repo, path, _commit_of(repo, path), _LANG[fmt], content))
+    return rows
+
+
+def _nt_to_rdfxml(nt_lines: list[str]) -> str:
+    """Derive a trivially-equivalent RDF/XML doc (IRI objects → resource,
+    literals → text; good lines only — errors are injected as-is)."""
+    import re as _re
+
+    pat = _re.compile(
+        r'^<([^>]*)> <([^>]*)> (?:<([^>]*)>|"((?:[^"\\]|\\.)*)"'
+        r"(?:\^\^<([^>]*)>|@([A-Za-z\-]+))?) \.$"
+    )
+    items = []
+    bad = []
+    for ln in nt_lines:
+        m = pat.match(ln)
+        if not m:
+            bad.append(ln)
+            continue
+        s, p, o_iri, o_lit, o_dt, o_lang = m.groups()
+        ns, local = _split_iri(p)
+        if o_iri is not None:
+            body = f'<n:{local} xmlns:n="{ns}" rdf:resource="{o_iri}"/>'
+        elif o_dt:
+            body = f'<n:{local} xmlns:n="{ns}" rdf:datatype="{o_dt}">{_x(o_lit)}</n:{local}>'
+        elif o_lang:
+            body = f'<n:{local} xmlns:n="{ns}" xml:lang="{o_lang}">{_x(o_lit)}</n:{local}>'
+        else:
+            body = f'<n:{local} xmlns:n="{ns}">{_x(o_lit)}</n:{local}>'
+        items.append(f'<rdf:Description rdf:about="{s}">{body}</rdf:Description>')
+    doc = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+        + "".join(items)
+        + "</rdf:RDF>"
+    )
+    if bad:
+        doc = "".join(bad) + doc  # malformed XML → error channel
+    return doc
+
+
+def _split_iri(iri: str) -> tuple[str, str]:
+    for sep in ("#", "/"):
+        if sep in iri:
+            i = iri.rindex(sep)
+            return iri[: i + 1], iri[i + 1 :]
+    return iri, "p"
+
+
+def _x(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def corpus_df(spark, spec: CorpusSpec):
+    """Spec → Spark DataFrame in the CORPUS schema."""
+    from tripleforge.schema import CORPUS
+
+    return spark.createDataFrame(generate_corpus(spec), CORPUS)

@@ -1,0 +1,222 @@
+"""Cross-file entity linking (SURVEY.md §2.A12-A17).
+
+Pipeline: candidate equivalence edges (explicit ``owl:sameAs`` plus
+shared inverse-functional keys) → capped blocking → DataFrame-native
+connected components (alternating large-star / small-star, Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14) →
+canonical-representative rewrite of the statement table.
+
+Scale notes (the 100 TB story):
+- Key blocks emit **star edges** (every subject → block-min subject),
+  never all-pairs: O(n) edges per block instead of O(n²), so a
+  million-subject block costs a million edges, not 10^12.
+- Hot keys are salted (A13) and pathological blocks capped (A14) with
+  the dropped volume surfaced to lineage.
+- CC iterations ``localCheckpoint()`` each round to truncate lineage —
+  else plan depth grows O(iterations) and re-optimization dominates.
+- The final mapping is usually tiny relative to the statement table →
+  broadcast rewrite joins (A17).
+
+The reference has no entity resolution; its analog is exact-IRI merge
+on load in the triplestore. This generalizes that per BASELINE.json
+north_star ("cross-file entity linking of equivalent subjects via a
+salted hash-join + connected-components resolution").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tripleforge.schema import OWL_SAMEAS
+
+
+# ---------------------------------------------------------------------------
+# A12 — candidate pairs
+# ---------------------------------------------------------------------------
+def candidate_edges(
+    stmts: DataFrame,
+    key_preds: list[str] | None = None,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Candidate equivalence edges ``(u, v)``.
+
+    - explicit ``owl:sameAs`` statements (subject ↔ object IRIs);
+    - inverse-functional keys: subjects sharing ``(pred, obj)`` for a
+      configured linking predicate are connected via star edges to the
+      block-minimum subject (A14 keeps blocks bounded).
+    """
+    same_as = (
+        stmts.where(
+            (F.col("pred") == OWL_SAMEAS) & (F.col("obj_kind") == "iri")
+        )
+        .select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+    )
+    edges = same_as
+    if key_preds:
+        keyed = (
+            stmts.where(
+                F.col("pred").isin(key_preds) & (F.col("obj_kind") == "literal")
+            )
+            .select("pred", "obj", "subj")
+            .dropDuplicates()
+        )
+        capped = block_and_cap(keyed, ["pred", "obj"], max_block)
+        # star edges: subj → min(subj) within the (pred, obj) block.
+        # groupBy+join (not a window) so AQE can split skewed blocks.
+        mins = capped.groupBy("pred", "obj").agg(F.min("subj").alias("rep"))
+        star = (
+            capped.join(mins, ["pred", "obj"])
+            .where(F.col("subj") != F.col("rep"))
+            .select(F.col("subj").alias("u"), F.col("rep").alias("v"))
+        )
+        edges = edges.unionByName(star)
+    return edges.where(F.col("u") != F.col("v"))
+
+
+# ---------------------------------------------------------------------------
+# A14 — blocking / block-size cap
+# ---------------------------------------------------------------------------
+def block_and_cap(df: DataFrame, key: list[str], max_block: int) -> DataFrame:
+    """Drop pathological key blocks (> ``max_block`` members) — typically
+    junk join values (empty strings, "N/A"). Count-join-filter: two
+    shuffles on the same key, no window over a hot partition."""
+    counts = df.groupBy(*key).agg(F.count(F.lit(1)).alias("_blk_n"))
+    return (
+        df.join(counts, key)
+        .where(F.col("_blk_n") <= F.lit(max_block))
+        .drop("_blk_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13 — salted hash-join (skew-safe) — general utility
+# ---------------------------------------------------------------------------
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the (large, skewed) ``left`` gets a random
+    bucket per row via hash-of-row; the (smaller) ``right`` is exploded
+    across all ``n_salt`` buckets, so one hot key spreads over
+    ``n_salt`` reducers. AQE skew-join remains the backstop (SURVEY §4).
+    """
+    lcols = [c for c in left.columns]
+    l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(n_salt))
+    )
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return l.join(r, [key, "_salt"], how).drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# A15 — pair → edge normalization
+# ---------------------------------------------------------------------------
+def normalize_edges(pairs: DataFrame) -> DataFrame:
+    """Undirected canonical form: (min, max), distinct, no self-loops."""
+    return (
+        pairs.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+
+
+# ---------------------------------------------------------------------------
+# A16 — connected components (alternating large-star / small-star)
+# ---------------------------------------------------------------------------
+def _large_star(edges: DataFrame) -> DataFrame:
+    bidir = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        bidir.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .dropDuplicates()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    joined = oriented.join(mins, "u")
+    a = joined.where(F.col("v") != F.col("m")).select("v", "m")
+    b = mins.select(F.col("u").alias("v"), "m")
+    return (
+        a.unionByName(b)
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .dropDuplicates()
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Edges → ``(member, representative)`` with representative =
+    component minimum. Converges in O(log n) alternating rounds; each
+    round is localCheckpoint()-ed to truncate the logical plan.
+
+    Returns only non-representative members (identity rows omitted) —
+    exactly what the rewrite join needs.
+    """
+    cur = normalize_edges(edges).localCheckpoint(eager=True)
+    if cur.isEmpty():
+        return cur.select(
+            F.col("u").alias("member"), F.col("v").alias("representative")
+        )
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # convergence: stable order-independent signature of the edge set
+        sig = cur.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at fixpoint every edge is (member, component-min)
+    return cur.select(
+        F.col("u").alias("member"), F.col("v").alias("representative")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A17 — canonical-representative rewrite
+# ---------------------------------------------------------------------------
+def rewrite(stmts: DataFrame, mapping: DataFrame, broadcast: bool = True) -> DataFrame:
+    """Replace subj and IRI-valued obj by the component representative.
+
+    The mapping (linked members only) is small relative to the
+    statement table → broadcast both joins; no shuffle of ``stmts``.
+    """
+    m = F.broadcast(mapping) if broadcast else mapping
+    ms = m.withColumnRenamed("member", "subj").withColumnRenamed(
+        "representative", "_srep"
+    )
+    mo = m.withColumnRenamed("member", "obj").withColumnRenamed(
+        "representative", "_orep"
+    )
+    out = (
+        stmts.join(ms, "subj", "left")
+        .withColumn("subj", F.coalesce("_srep", "subj"))
+        .drop("_srep")
+    )
+    out = (
+        out.join(mo, (out.obj == mo.obj) & (out.obj_kind == F.lit("iri")), "left")
+        .drop(mo.obj)
+        .withColumn("obj", F.coalesce("_orep", out.obj))
+        .drop("_orep")
+    )
+    return out

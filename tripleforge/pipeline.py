@@ -1,0 +1,103 @@
+"""End-to-end KG build (SURVEY.md §3.1) — the engine's flagship entry.
+
+Replacement for the reference's ``triple.loader -main`` CLI (load RDF
+files into a repository with optional named-graph context): corpus scan
+→ fingerprint → format detect → skew balance → Arrow parse → canon →
+graph inject → (optional) entity linking → dedup → snapshot commit with
+lineage. Stages scan→parse→canon fuse into ONE Spark stage (no shuffle
+between them); the explicit shuffles are the balance repartition, the
+linking joins/CC rounds, the dedup aggregate, and the bucket
+repartition before write.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tripleforge import canon, link, lineage as lineage_mod, ops
+from tripleforge.catalog.base import Catalog
+from tripleforge.checkpoint import filter_pending
+from tripleforge.detect import with_format
+from tripleforge.parse import parse_corpus, split_errors
+
+
+@dataclass
+class BuildConfig:
+    graph_override: str | None = None  # CLI-style context injection (A19)
+    link_entities: bool = True
+    link_key_preds: list[str] = field(default_factory=list)
+    max_block: int = 10_000
+    balance_partitions: int | None = None  # default: 4× shuffle partitions
+    run_id: str | None = None
+    resume: bool = True
+    canonicalize: bool = True
+
+
+@dataclass
+class BuildResult:
+    snapshot_id: int
+    run_id: str
+    n_statements: int
+    n_errors: int
+
+
+def transform(
+    corpus: DataFrame, cfg: BuildConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Pure dataflow (no catalog side effects): corpus → (statements,
+    errors). Used by the build, the streaming foreachBatch path, and
+    tests — single source of truth for parse/canon semantics."""
+    cfg = cfg or BuildConfig()
+    spark = corpus.sparkSession
+    n_balance = cfg.balance_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+
+    prepared = with_format(ops.with_sha256(corpus))
+    prepared = ops.balance(prepared, n_balance)  # SHUFFLE #1 (skew-safe)
+    raw = parse_corpus(prepared)  # Arrow boundary, same stage
+    stmts, errors = split_errors(raw)
+    if cfg.canonicalize:
+        stmts = canon.canonicalize(stmts)
+    stmts = ops.assign_graph(stmts, cfg.graph_override)
+
+    if cfg.link_entities:
+        edges = link.candidate_edges(stmts, cfg.link_key_preds, cfg.max_block)
+        mapping = link.connected_components(edges)
+        stmts = link.rewrite(stmts, mapping)
+
+    stmts = ops.dedup(stmts)  # SHUFFLE: partial+final hash agg
+    return stmts, errors
+
+
+def build(
+    spark: SparkSession,
+    corpus: DataFrame,
+    catalog: Catalog,
+    cfg: BuildConfig | None = None,
+) -> BuildResult:
+    """Resume-filtered build + atomic snapshot commit (A22)."""
+    cfg = cfg or BuildConfig()
+    run_id = cfg.run_id or uuid.uuid4().hex
+    if cfg.resume:
+        corpus = filter_pending(corpus, catalog)
+
+    stmts, errors = transform(corpus, cfg)
+    # one pass: cache the deduped statements for write + metrics
+    stmts = stmts.persist()
+    errors = errors.persist()
+    lin = (
+        lineage_mod.collect(stmts, errors)
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("committed_at", F.current_timestamp())
+    )
+    sid = catalog.commit_snapshot(stmts, lin, run_id=run_id)
+    n_stmts = stmts.count()
+    n_errs = errors.count()
+    stmts.unpersist()
+    errors.unpersist()
+    return BuildResult(sid, run_id, n_stmts, n_errs)

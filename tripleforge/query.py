@@ -1,0 +1,78 @@
+"""Triple-pattern / basic-graph-pattern query surface (SURVEY.md §3.2).
+
+The engine's replacement for the reference's SPARQL SELECT path: a
+triple pattern ``match(s, p, o, g)`` binds constants to conjunctive
+filters over the statement table (pushed into the Parquet/Iceberg scan
+by Catalyst); a BGP of k patterns compiles to k-1 self-equi-joins on
+shared variables, ordered by a bound-term selectivity heuristic before
+Catalyst/AQE take over (join strategy, reordering, broadcast).
+
+Variables are written ``"?name"``; constants are plain strings
+(IRIs/literal lexicals).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _is_var(term: str | None) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+@dataclass(frozen=True)
+class Pattern:
+    s: str | None = None
+    p: str | None = None
+    o: str | None = None
+    g: str | None = None
+
+    @property
+    def bound_count(self) -> int:
+        return sum(
+            1 for t in (self.s, self.p, self.o, self.g) if t is not None and not _is_var(t)
+        )
+
+
+def match(
+    statements: DataFrame,
+    s: str | None = None,
+    p: str | None = None,
+    o: str | None = None,
+    g: str | None = None,
+) -> DataFrame:
+    """Single triple-pattern scan. Bound terms become sargable filters
+    (column == literal → Parquet predicate pushdown + graph-bucket
+    partition pruning when g is bound via the bucketed layout)."""
+    df = statements
+    for col, term in (("subj", s), ("pred", p), ("obj", o), ("graph", g)):
+        if term is not None and not _is_var(term):
+            df = df.where(F.col(col) == F.lit(term))
+    cols = []
+    for col, term in (("subj", s), ("pred", p), ("obj", o), ("graph", g)):
+        if _is_var(term):
+            cols.append(F.col(col).alias(term[1:]))
+    return df.select(*cols) if cols else df
+
+
+def bgp(statements: DataFrame, patterns: list[Pattern]) -> DataFrame:
+    """Basic graph pattern: join pattern scans on shared variables.
+
+    Patterns are ordered most-selective-first (bound-term count) — a
+    cheap deterministic heuristic ahead of Catalyst's own reordering.
+    Joins are equi-joins on the shared variable names, so Catalyst picks
+    broadcast/SMJ per AQE statistics.
+    """
+    ordered = sorted(patterns, key=lambda pt: -pt.bound_count)
+    result: DataFrame | None = None
+    for pt in ordered:
+        scan = match(statements, pt.s, pt.p, pt.o, pt.g)
+        if result is None:
+            result = scan
+            continue
+        shared = [c for c in scan.columns if c in result.columns]
+        result = result.join(scan, on=shared, how="inner") if shared else result.crossJoin(scan)
+    return result if result is not None else statements.limit(0)

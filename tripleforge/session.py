@@ -1,0 +1,54 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+All knobs here are plain public Spark 4.x confs (SURVEY.md §4):
+AQE on (coalesce + skew-join as the backstop behind explicit salting),
+Arrow on for every pandas/mapInPandas boundary, and a bounded Arrow
+batch size because corpus `content` rows are fat (KB-MB each).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS = {
+    # AQE: runtime re-plan, shuffle-partition coalescing, skew-join split.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow across the Python<->JVM boundary for all pandas UDF paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Corpus rows carry whole files in `content`; cap the Arrow batch so a
+    # batch of fat rows doesn't blow the Python worker (SURVEY §4).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    # Deterministic timestamp behavior for canonicalization.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.datetimeRebaseModeInWrite": "CORRECTED",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(
+    app_name: str = "tripleforge",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    in the sandbox; on a real cluster the caller passes nothing and
+    spark-submit supplies the master (BASELINE.json north_star:
+    "Execution is via spark-submit --py-files").
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+    confs = dict(DEFAULT_CONFS)
+    if extra_conf:
+        confs.update(extra_conf)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,101 @@
+"""SPARQL-update analog (SURVEY.md §2.A24) — SPARQL 1.1 Update §3.1.
+
+The reference's ``sparql`` CLI executes update strings (INSERT DATA /
+DELETE DATA / WITH <g> ...) against the repository. The columnar
+analog: statement-level mutation batches with graph targeting, each
+committed as a new catalog snapshot.
+
+- insert_data = assign_graph ∘ dedup ∘ append-snapshot
+- delete_data = anti-join the live statement set against the deletion
+  batch on the canonical quad key → overwrite snapshot
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tripleforge import ops
+from tripleforge.catalog.base import Catalog
+from tripleforge.schema import STATEMENT, STATEMENT_QUAD_KEY
+
+
+def _conform(stmts: DataFrame) -> DataFrame:
+    """Fill lineage columns absent from a user-supplied statement batch."""
+    out = stmts
+    for name in ("obj_dt", "obj_lang", "graph", "src_repo", "src_path", "src_commit"):
+        if name not in out.columns:
+            out = out.withColumn(name, F.lit(None).cast("string"))
+    return out.select(*[f.name for f in STATEMENT.fields])
+
+
+def _empty_lineage(spark: SparkSession, op: str, n: int) -> DataFrame:
+    return spark.createDataFrame(
+        [(op, None, None, 0, n, 0, None)],
+        "parser string, repo string, commit string, n_files long, n_triples long, n_errors long, checksum string",
+    )
+
+
+def insert_data(
+    catalog: Catalog,
+    stmts: DataFrame,
+    graph: str | None = None,
+    run_id: str | None = None,
+) -> int:
+    """INSERT DATA [INTO GRAPH <graph>]: dedup against the live store
+    (set semantics — re-adding a triple is a no-op, like the reference's
+    triplestore) and append the remainder as a snapshot."""
+    spark = stmts.sparkSession
+    batch = ops.dedup(ops.assign_graph(_conform(stmts), override=graph))
+    live = catalog.read_statements()
+    if "subj" in live.columns and not live.isEmpty():
+        batch = batch.join(
+            live.select(*STATEMENT_QUAD_KEY).dropDuplicates(),
+            on=STATEMENT_QUAD_KEY,
+            how="left_anti",
+        )
+    n = batch.count()
+    lin = _empty_lineage(spark, "insert_data", n)
+    return catalog.commit_snapshot(
+        batch, lin, run_id=run_id or uuid.uuid4().hex, operation="append"
+    )
+
+
+def delete_data(
+    catalog: Catalog,
+    stmts: DataFrame,
+    graph: str | None = None,
+    run_id: str | None = None,
+) -> int:
+    """DELETE DATA [FROM GRAPH <graph>]: rewrite the live set minus the
+    batch as a full-replacement (overwrite) snapshot.
+
+    At cluster scale with Iceberg this becomes a partition-level
+    overwrite of only the graph buckets touched; the parquet-snapshot
+    catalog expresses the same thing as a new live-path set.
+    """
+    spark = stmts.sparkSession
+    batch = ops.assign_graph(_conform(stmts), override=graph).select(
+        *STATEMENT_QUAD_KEY
+    )
+    live = catalog.read_statements()
+    remaining = live.join(batch, on=STATEMENT_QUAD_KEY, how="left_anti").select(
+        *[f.name for f in STATEMENT.fields]
+    )
+    n = remaining.count()
+    lin = _empty_lineage(spark, "delete_data", n)
+    if hasattr(catalog, "commit_snapshot"):
+        try:
+            return catalog.commit_snapshot(
+                remaining,
+                lin,
+                run_id=run_id or uuid.uuid4().hex,
+                operation="overwrite",
+                replace_paths=[],
+            )
+        except TypeError:
+            return catalog.commit_snapshot(
+                remaining, lin, run_id=run_id or uuid.uuid4().hex, operation="overwrite"
+            )
