@@ -1,0 +1,106 @@
+"""Canonicalization table tests (SURVEY.md §5.2.2) — cases straight
+from RFC 3986 §6 and XSD 1.1 §3.2 canonical mappings."""
+
+from __future__ import annotations
+
+import pytest
+
+from tripleforge.canon import (
+    _canon_boolean,
+    _canon_datetime,
+    _canon_decimal,
+    _canon_double,
+    _canon_integer,
+    normalize_iri_str,
+)
+
+IRI_CASES = [
+    # FIXTURES.md canon_edge: scheme/host case, default port, dot segments, %XX case
+    ("HTTP://EX.ORG:80/a/../b%2f", "http://ex.org/b%2F"),
+    ("http://Example.COM/x", "http://example.com/x"),
+    ("https://ex.org:443/x", "https://ex.org/x"),
+    ("https://ex.org:8443/x", "https://ex.org:8443/x"),
+    ("http://ex.org/a/./b", "http://ex.org/a/b"),
+    ("http://ex.org/%7Euser", "http://ex.org/~user"),
+    ("http://ex.org/%41%2F", "http://ex.org/A%2F"),
+    ("http://ex.org", "http://ex.org/"),
+    ("urn:uuid:ABC", "urn:uuid:ABC"),  # opaque path untouched
+    ("http://ex.org/a?q=%2f#f%2f", "http://ex.org/a?q=%2F#f%2F"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", IRI_CASES)
+def test_iri_normalization(raw, expected):
+    assert normalize_iri_str(raw) == expected
+
+
+def test_iri_nfc():
+    # e + combining acute (NFD) → precomposed é (NFC)
+    assert normalize_iri_str("http://ex.org/café") == "http://ex.org/café"
+
+
+INT_CASES = [("007", "7"), ("+01", "1"), ("-0", "0"), ("42", "42"), ("-042", "-42"), ("0", "0")]
+DEC_CASES = [("2.50", "2.5"), ("+01.10", "1.1"), ("5", "5"), (".5", "0.5"), ("-0.0", "0"), ("10", "10")]
+DBL_CASES = [
+    ("1e0", "1.0E0"),
+    ("1E0", "1.0E0"),
+    ("0.1", "1.0E-1"),
+    ("-12.3e2", "-1.23E3"),
+    ("0", "0.0E0"),
+    ("INF", "INF"),
+    ("-INF", "-INF"),
+    ("NaN", "NaN"),
+]
+BOOL_CASES = [("0", "false"), ("1", "true"), ("true", "true"), ("false", "false")]
+DT_CASES = [
+    ("2024-01-02T03:04:05+05:00", "2024-01-01T22:04:05Z"),
+    ("2024-01-02T03:04:05Z", "2024-01-02T03:04:05Z"),
+    ("2024-01-02T03:04:05.500Z", "2024-01-02T03:04:05.5Z"),
+    ("2024-01-02T03:04:05", "2024-01-02T03:04:05"),  # tz-less stays local
+]
+
+
+@pytest.mark.parametrize("raw,expected", INT_CASES)
+def test_canon_integer(raw, expected):
+    assert _canon_integer(raw) == expected
+
+
+@pytest.mark.parametrize("raw,expected", DEC_CASES)
+def test_canon_decimal(raw, expected):
+    assert _canon_decimal(raw) == expected
+
+
+@pytest.mark.parametrize("raw,expected", DBL_CASES)
+def test_canon_double(raw, expected):
+    assert _canon_double(raw) == expected
+
+
+@pytest.mark.parametrize("raw,expected", BOOL_CASES)
+def test_canon_boolean(raw, expected):
+    assert _canon_boolean(raw) == expected
+
+
+@pytest.mark.parametrize("raw,expected", DT_CASES)
+def test_canon_datetime(raw, expected):
+    assert _canon_datetime(raw) == expected
+
+
+def test_canonicalize_dataframe(spark):
+    """End-to-end A9+A11 over a statement DataFrame (Arrow pandas_udf)."""
+    from tripleforge.canon import canonicalize
+    from tripleforge.schema import XSD_DECIMAL, XSD_INTEGER, XSD_STRING
+
+    df = spark.createDataFrame(
+        [
+            ("HTTP://EX.ORG:80/a/../s", "http://ex.org/p", "007", "literal", XSD_INTEGER, None, None),
+            ("http://ex.org/s", "http://ex.org/p", "2.50", "literal", XSD_DECIMAL, None, None),
+            ("http://ex.org/s", "http://ex.org/p", "HTTP://EX.ORG/O", "iri", None, None, None),
+            ("http://ex.org/s", "http://ex.org/p", "keep", "literal", XSD_STRING, None, None),
+        ],
+        "subj string, pred string, obj string, obj_kind string, obj_dt string, obj_lang string, graph string",
+    )
+    rows = {(r.subj, r.obj) for r in canonicalize(df).collect()}
+    assert ("http://ex.org/s", "7") in rows
+    assert ("http://ex.org/s", "2.5") in rows
+    assert ("http://ex.org/s", "http://ex.org/O") in rows
+    assert ("http://ex.org/s", "keep") in rows

@@ -1,0 +1,154 @@
+"""Golden-file parser tests (SURVEY.md §5.2.1) — the direct analog of
+the reference's sample-file load tests (load small RDF resources into an
+in-memory store, assert triple counts + membership + context)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.oracle_rdf import _skolem
+from tripleforge.datagen import CorpusSpec, corpus_df
+from tripleforge.detect import with_format
+from tripleforge.ops import assign_graph
+from tripleforge.parse import parse_corpus, split_errors
+from tripleforge.schema import (
+    CORPUS,
+    RDF_FIRST,
+    RDF_LANGSTRING,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD_DECIMAL,
+    XSD_INTEGER,
+    XSD_STRING,
+)
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "rdf")
+
+
+def _corpus_from_file(spark, fname, lang, repo="org/r1"):
+    with open(os.path.join(FIX, fname)) as fh:
+        content = fh.read()
+    return spark.createDataFrame(
+        [(repo, f"data/{fname}", "c0", lang, content)], CORPUS
+    )
+
+
+def _parse(spark, fname, lang):
+    corpus = with_format(_corpus_from_file(spark, fname, lang))
+    stmts, errors = split_errors(parse_corpus(corpus))
+    return assign_graph(stmts), errors
+
+
+def _tuples(stmts):
+    return {
+        (r.graph, r.subj, r.pred, r.obj, r.obj_kind, r.obj_dt, r.obj_lang)
+        for r in stmts.collect()
+    }
+
+
+def test_ntriples_golden(spark):
+    stmts, errors = _parse(spark, "basic.nt", "N-Triples")
+    got = _tuples(stmts)
+    assert errors.count() == 0
+    g = "urn:repo:org/r1"
+    b0 = _skolem("org/r1", "data/basic.nt", "b0")
+    b1 = _skolem("org/r1", "data/basic.nt", "b1")
+    expected = {
+        (g, "http://ex.org/s1", "http://ex.org/p", "http://ex.org/o1", "iri", None, None),
+        (g, "http://ex.org/s1", "http://ex.org/p", "plain", "literal", XSD_STRING, None),
+        (g, "http://ex.org/s2", "http://ex.org/p", "42", "literal", XSD_INTEGER, None),
+        (g, "http://ex.org/s2", "http://ex.org/p", "hej", "literal", RDF_LANGSTRING, "sv"),
+        (g, b0, "http://ex.org/p", b1, "iri", None, None),
+    }
+    assert got == expected
+
+
+def test_nquads_context_wins(spark):
+    stmts, errors = _parse(spark, "basic.nq", "N-Quads")
+    assert errors.count() == 0
+    graphs = {r.graph for r in stmts.collect()}
+    # quad-carried graph wins over per-repo injection; default-graph lines
+    # fall back to urn:repo:<repo> (A19)
+    assert graphs == {"http://ex.org/g1", "urn:repo:org/r1"}
+    by_graph = {
+        g: sum(1 for r in stmts.collect() if r.graph == g) for g in graphs
+    }
+    assert by_graph["http://ex.org/g1"] == 2
+    assert by_graph["urn:repo:org/r1"] == 2
+
+
+def test_turtle_golden(spark):
+    stmts, errors = _parse(spark, "basic.ttl", "Turtle")
+    assert errors.count() == 0
+    got = _tuples(stmts)
+    # prefixed names, 'a' → rdf:type, ';'/',' lists
+    assert ("urn:repo:org/r1", "http://ex.org/s1", RDF_TYPE, "http://ex.org/T", "iri", None, None) in got
+    assert ("urn:repo:org/r1", "http://ex.org/s1", "http://ex.org/p", "http://ex.org/o1", "iri", None, None) in got
+    assert ("urn:repo:org/r1", "http://ex.org/s1", "http://ex.org/p", "x", "literal", XSD_STRING, None) in got
+    # relative IRI resolved against @base; anon bnode object w/ decimal
+    rel_rows = [r for r in stmts.collect() if r.subj == "http://ex.org/base/rel"]
+    assert len(rel_rows) == 1
+    bnode = rel_rows[0].obj
+    assert bnode.startswith("urn:skolem:")
+    dec = [r for r in stmts.collect() if r.subj == bnode]
+    assert len(dec) == 1 and dec[0].obj == "2.50" and dec[0].obj_dt == XSD_DECIMAL
+    # collection expansion: 4 triples (2× first, 2× rest) ending in rdf:nil
+    firsts = [r for r in stmts.collect() if r.pred == RDF_FIRST]
+    rests = [r for r in stmts.collect() if r.pred == RDF_REST]
+    assert len(firsts) == 2 and len(rests) == 2
+    assert {r.obj for r in firsts} == {"1", "2"}
+    assert RDF_NIL in {r.obj for r in rests}
+    # 3 (s1) + 2 (rel + bnode) + 1 (ex:vals) + 4 (collection) = 10
+    assert stmts.count() == 10
+
+
+def test_rdfxml_golden(spark):
+    stmts, errors = _parse(spark, "basic.rdf", "RDF/XML")
+    assert errors.count() == 0
+    got = _tuples(stmts)
+    g = "urn:repo:org/r1"
+    n1 = _skolem("org/r1", "data/basic.rdf", "n1")
+    assert (g, "http://ex.org/s1", "http://ex.org/p", "http://ex.org/o1", "iri", None, None) in got
+    assert (g, "http://ex.org/s1", "http://ex.org/name", "Alice", "literal", RDF_LANGSTRING, "en") in got
+    # raw lexical preserved at parse; canonicalization is stage A11
+    assert (g, "http://ex.org/s1", "http://ex.org/age", "007", "literal", XSD_INTEGER, None) in got
+    assert (g, "http://ex.org/s1", "http://ex.org/knows", n1, "iri", None, None) in got
+    assert stmts.count() == 4
+
+
+def test_malformed_error_channel(spark):
+    stmts, errors = _parse(spark, "malformed.nt", "N-Triples")
+    assert stmts.count() == 2  # the two good lines survive
+    errs = errors.collect()
+    assert len(errs) == 2  # truncated line + bad term line
+    assert all(e.parser == "nt" for e in errs)
+    assert {e.src_path for e in errs} == {"data/malformed.nt"}
+
+
+def test_skip_unknown_format(spark):
+    corpus = with_format(
+        spark.createDataFrame(
+            [("r", "src/main.py", "c0", "Python", "print('hi')")], CORPUS
+        )
+    )
+    stmts, errors = split_errors(parse_corpus(corpus))
+    assert stmts.count() == 0 and errors.count() == 0
+
+
+def test_multiformat_generated_corpus(spark):
+    spec = CorpusSpec(
+        n_repos=3, files_per_repo=4, stmts_per_file=10,
+        formats=("nt", "nq", "ttl", "rdfxml"),
+    )
+    corpus = with_format(corpus_df(spark, spec))
+    stmts, errors = split_errors(parse_corpus(corpus))
+    assert errors.count() == 0
+    assert {r.parser for r in stmts.select("parser").distinct().collect()} == {
+        "nt", "nq", "ttl", "rdfxml",
+    }
+    # every good file yields exactly stmts_per_file statements
+    per_file = stmts.groupBy("src_path", "src_repo").count().collect()
+    assert all(r["count"] == 10 for r in per_file)

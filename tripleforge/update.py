@@ -31,6 +31,19 @@ def _conform(stmts: DataFrame) -> DataFrame:
     return out.select(*[f.name for f in STATEMENT.fields])
 
 
+def _anti_on_quad_key(left: DataFrame, right: DataFrame) -> DataFrame:
+    """left_anti on the canonical quad key with NULL-SAFE equality —
+    obj_dt/obj_lang are null for IRI objects and plain equi-join keys
+    never match on null (two identical IRI-object quads would look
+    distinct). EqualNullSafe stays hash-joinable in Catalyst."""
+    r = right.select(*STATEMENT_QUAD_KEY).dropDuplicates()
+    cond = None
+    for c in STATEMENT_QUAD_KEY:
+        term = left[c].eqNullSafe(r[c])
+        cond = term if cond is None else (cond & term)
+    return left.join(r, cond, "left_anti")
+
+
 def _empty_lineage(spark: SparkSession, op: str, n: int) -> DataFrame:
     return spark.createDataFrame(
         [(op, None, None, 0, n, 0, None)],
@@ -51,11 +64,7 @@ def insert_data(
     batch = ops.dedup(ops.assign_graph(_conform(stmts), override=graph))
     live = catalog.read_statements()
     if "subj" in live.columns and not live.isEmpty():
-        batch = batch.join(
-            live.select(*STATEMENT_QUAD_KEY).dropDuplicates(),
-            on=STATEMENT_QUAD_KEY,
-            how="left_anti",
-        )
+        batch = _anti_on_quad_key(batch, live)
     n = batch.count()
     lin = _empty_lineage(spark, "insert_data", n)
     return catalog.commit_snapshot(
@@ -81,7 +90,7 @@ def delete_data(
         *STATEMENT_QUAD_KEY
     )
     live = catalog.read_statements()
-    remaining = live.join(batch, on=STATEMENT_QUAD_KEY, how="left_anti").select(
+    remaining = _anti_on_quad_key(live, batch).select(
         *[f.name for f in STATEMENT.fields]
     )
     n = remaining.count()
