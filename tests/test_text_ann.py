@@ -1,0 +1,159 @@
+"""Training-data ops tests: dedup family, text analysis, ANN,
+multimodal plumbing (SURVEY.md extension tier)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tripleforge import ann, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "same  TEXT here"), (2, "same text  HERE"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r.representative: r.n_dups for r in text.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}  # normalization collapses case/whitespace
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "a b  c"), (2, "x,y 12z")], "doc_id long, text string")
+    rows = {
+        r.doc_id: (r.nt, r.ns)
+        for r in df.select(
+            "doc_id",
+            text.token_count(F.col("text")).alias("nt"),
+            text.bpe_ish_token_count(F.col("text")).alias("ns"),
+        ).collect()
+    }
+    assert rows[1] == (3, 3)
+    assert rows[2] == (2, 5)  # x , y 12 z
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated words appear in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in text.jaccard_pairs(df, k=3, threshold=0.1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "zeta eta theta iota kappa " * 6)],
+        "doc_id long, text string",
+    )
+    cand = {(r.doc_a, r.doc_b) for r in text.minhash_lsh_pairs(df, verify_threshold=None).collect()}
+    assert (1, 2) in cand
+    assert (1, 3) not in cand and (2, 3) not in cand
+
+
+def test_simhash_near_dup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten " * 4),
+            (2, "one two three four five six seven eight nine zzz " * 4),
+            (3, "red orange yellow green blue indigo violet pink black white " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.s for r in df.select("doc_id", text.simhash(F.col("text")).alias("s")).collect()}
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in sh.values())
+    d12 = sum(a != b for a, b in zip(sh[1], sh[2]))
+    d13 = sum(a != b for a, b in zip(sh[1], sh[3]))
+    assert d12 < d13  # near-dup closer in hamming space
+
+
+def test_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and of course"),
+            (2, "der Hund ist nicht und das Haus"),
+            (3, "le chat est dans la maison et les arbres"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang for r in df.select("doc_id", text.langid(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_score_range(docs):
+    vals = [r.q for r in docs.select(text.quality_score(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_ann_bruteforce_exact(spark, emb):
+    """Spark two-phase top-k == naive numpy top-k."""
+    import numpy as np
+
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    got = ann.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.rnk, r.nid))
+    for qid in (0, 1, 2):
+        qi = int(np.where(ids == qid)[0][0])
+        sims = (mat @ mat[qi]) / norms / norms[qi]
+        order = sorted(
+            [(-(sims[i]), ids[i]) for i in range(len(ids)) if ids[i] != qid]
+        )[:4]
+        expect = [nid for _, nid in order]
+        assert [nid for _, nid in sorted(by_q[qid])] == expect
+
+
+def test_ann_lsh_candidates_share_bucket(spark, emb):
+    out = ann.cosine_topk_lsh(emb, emb.where(F.col("vec_id") < 3), k=4)
+    rows = out.collect()
+    assert all(r.rnk <= 4 and -1.0 <= r.sim <= 1.0 for r in rows)
+    # LSH recall vs brute force is positive (same-bucket neighbors exist)
+    assert len(rows) > 0
+
+
+def test_multimodal_plumbing(spark, docs):
+    from tripleforge.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(docs)
+    feats = extract_features(media, dim=8, fake=True)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r.feature)
+    # deterministic across partitionings
+    feats2 = extract_features(media.repartition(7), dim=8, fake=True)
+    a = {r.media_id: r.feature for r in rows}
+    b = {r.media_id: r.feature for r in feats2.collect()}
+    assert a == b
+
+
+def test_multimodal_decode_stub_raises():
+    from tripleforge.multimodal import decode_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"bytes", "image", fake=False)

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the exact baseline. Scale shape: the query
+  set is broadcast, similarities are computed JVM-side with higher-order
+  array functions inside one narrow stage over the corpus, then top-k is
+  taken in two phases — per-partition partial top-k (mapInPandas over
+  Arrow batches, numpy argpartition) followed by a global window over
+  only ``n_queries × k × n_partitions`` candidate rows. No shuffle of
+  the corpus, ever.
+- LSH-bucketed variant: deterministic random-hyperplane signatures
+  (seeded, generated once on the driver and inlined as literal
+  constants, so the DuckDB oracle can reproduce them bit-for-bit);
+  candidates = same bucket as the query; exact cosine rerank within
+  the bucket.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (double accumulation, JVM-side)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Brute-force top-k
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector.
+
+    → (qid, nid, sim) with rank ties broken by nid; self-matches
+    excluded. ``queries`` must be small (it is collected to the driver
+    and broadcast inside the Arrow kernel — the corpus side streams).
+    """
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+
+    out_schema = "qid long, nid long, sim double"
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate per-partition candidates, emit once per batch
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_nid"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["_vec"]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat @ qmat.T) / norms[:, None] / qnorm[None, :]
+            rows = []
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi]
+                mask = ids != qid  # exclude self
+                cand_ids, cand_sims = ids[mask], col[mask]
+                if len(cand_ids) > k:
+                    idx = np.argpartition(-cand_sims, k)[:k]
+                    cand_ids, cand_sims = cand_ids[idx], cand_sims[idx]
+                rows.append(
+                    pd.DataFrame({"qid": qid, "nid": cand_ids, "sim": cand_sims})
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    cand = corpus.select(
+        F.col(id_col).alias("_nid"), _as_double(F.col(vec_col)).alias("_vec")
+    ).mapInPandas(partial_topk, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("qid", "nid", F.round("sim", 6).alias("sim"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (random hyperplanes, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, n_bits: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (portable LCG, no numpy
+    RNG state dependency): reproducible anywhere — including inside the
+    DuckDB oracle SQL, which inlines these exact constants."""
+    planes = []
+    state = seed & 0x7FFFFFFF
+    for _ in range(n_bits):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(round((state / float(1 << 31)) * 2.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit string of the projections onto each hyperplane."""
+    bits = [
+        F.when(
+            dot(vec_col, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; exact
+    cosine rerank within the bucket. At corpus scale the bucket join is
+    an equi-join on the bit-string (2^n_bits buckets → n_bits tunes the
+    recall/cost trade)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    joined = c.join(F.broadcast(q), "bucket").where(F.col("nid") != F.col("qid"))
+    sim = cosine(F.col("nvec"), F.col("qvec"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("qid", "nid", F.round("sim", 6).alias("sim"), "rnk")
+    )

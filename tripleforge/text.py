@@ -1,0 +1,362 @@
+"""Training-data pipeline text operators over the `documents` table:
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), language
+ID, quality scoring, token counting, document fingerprinting.
+
+Everything on the hot path is built-in Catalyst expressions / higher-
+order array functions (JVM-side, whole-stage-codegen or vectorized) —
+no Python UDFs. The near-dup operators follow the standard web-scale
+shapes: shingle → inverted-index join (exact Jaccard), shingle →
+minhash signature → banded LSH bucket join (approximate), token-hash
+bit aggregation (SimHash). Skewed buckets are capped exactly like
+entity-linking blocks (link.block_and_cap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tripleforge.link import block_and_cap
+
+# ---------------------------------------------------------------------------
+# Tokenization / fingerprint / counting
+# ---------------------------------------------------------------------------
+
+
+def norm_text(col: Column) -> Column:
+    """Whitespace-collapsed, lowercased, trimmed text."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(norm_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (the 'word count' every corpus pipeline
+    needs before a real BPE pass)."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword proxy: count of word/number/punctuation chunks
+    (regex analog of a byte-level pre-tokenizer's split points)."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0)
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text —
+    portable across engines (the DuckDB oracle computes the same md5)."""
+    return F.md5(norm_text(col))
+
+
+def rolling_fingerprints(col: Column, window: int = 8) -> Column:
+    """Rolling-hash-style fingerprints: md5 of each ``window``-token
+    shingle — the winnowing primitive for partial-overlap detection."""
+    return F.transform(shingles(col, window), lambda s: F.md5(s))
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (fp, representative=min id, n_dups). One hash aggregate with
+    map-side partial combine; at 100 TB this is a single shuffle keyed
+    by a 128-bit fingerprint (uniform, no skew)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + exact n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Distinct k-token shingles of the normalized text (array<string>).
+    Documents shorter than k tokens yield their full text as the one
+    shingle."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def _shingle_posting(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_posting: int = 10_000,
+) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs ≥ threshold.
+
+    Inverted-index self-join: explode shingles, join docs sharing a
+    shingle, count intersections, join back per-doc shingle counts.
+    Stop-shingles (posting lists > ``max_posting``) are dropped before
+    the join — the standard guard against the O(df²) hot-key blowup at
+    corpus scale (AQE skew-join remains the backstop).
+    """
+    posting = _shingle_posting(df, id_col, text_col, k)
+    sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    capped = block_and_cap(posting, ["sh"], max_posting)
+    a = capped.withColumnRenamed("doc", "doc_a")
+    b = capped.withColumnRenamed("doc", "doc_b")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH (approximate near-dup at scale)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(col: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature (array<bigint>): per hash function i, the min
+    over shingles of xxhash64(shingle, salt_i). Pure JVM expressions —
+    one pass over the shingle array per document via higher-order
+    ``transform``/``array_min``; no explode, no shuffle."""
+    sh = shingles(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    max_bucket: int = 5_000,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash → banded LSH candidate pairs (optionally verified with
+    exact shingle Jaccard).
+
+    bands of r = n_hashes/n_bands rows: docs agreeing on ALL r minhashes
+    of any band land in one bucket → candidate. Bucket join is keyed by
+    (band_id, band_hash) — uniform by construction; pathological buckets
+    (constant documents) capped like linking blocks.
+    """
+    r = n_hashes // n_bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(F.col(text_col), n_hashes).alias("sig"),
+    )
+    bands = sig.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = block_and_cap(bands, ["band", "bucket"], max_bucket)
+    a = bands.withColumnRenamed("doc", "doc_a")
+    b = bands.withColumnRenamed("doc", "doc_b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    if verify_threshold is None:
+        return cand
+    exact = jaccard_pairs(df, id_col, text_col, threshold=verify_threshold)
+    return cand.join(exact, ["doc_a", "doc_b"], "inner")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (bitwise near-dup)
+# ---------------------------------------------------------------------------
+
+
+def simhash(col: Column, n_bits: int = 64) -> Column:
+    """SimHash as an n_bits '0'/'1' string (string avoids ANSI bigint
+    overflow on bit 63 and makes banding a substring).
+
+    For each bit j: sign of Σ_tokens (2·bit_j(xxhash64(token)) − 1).
+    Token hashes are materialized once per document, then each bit is an
+    ``aggregate`` over that array — higher-order functions only, no
+    explode, no shuffle. (The bit index must be a Python literal:
+    ``shiftright`` takes a constant shift.)"""
+    hashed = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    bits = [
+        F.when(
+            F.aggregate(
+                hashed,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2
+                - 1,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for j in range(n_bits)
+    ]
+    return F.concat(*bits)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 64,
+    n_bands: int = 4,
+    max_hamming: int = 6,
+    max_bucket: int = 5_000,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the bit-string (a pair within
+    hamming ≤ (n_bands−1) collides on ≥1 band — pigeonhole), bucket-join,
+    verify exact hamming distance ≤ max_hamming."""
+    r = n_bits // n_bands
+    hashed = df.select(
+        F.col(id_col).alias("doc"), simhash(F.col(text_col), n_bits).alias("sh")
+    )
+    bands = hashed.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.substring(F.col("sh"), b * r + 1, r).alias("bucket")
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = block_and_cap(bands, ["band", "bucket"], max_bucket)
+    a = bands.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "bucket")
+    b = bands.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("sh_a"), ""),
+                F.split(F.col("sh_b"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda z: z,
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (marker-word heuristic) + quality scoring
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, str] = {
+    # deterministic n-gram/stopword heuristic; priority order = dict order
+    "en": r"\b(the|and|of|to|is|in)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "fr": r"\b(le|la|les|et|est|dans)\b",
+    "es": r"\b(el|los|las|es|y|en)\b",
+}
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    t = F.lower(col)
+    return {
+        lang: F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def langid(col: Column, min_hits: int = 1) -> Column:
+    """argmax of marker hits with fixed priority tie-break; 'und'
+    (undetermined) when no marker reaches min_hits."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(scores)):  # earlier langs win ties
+        expr = F.when(
+            (scores[lang] >= min_hits) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality score: length saturation (50%),
+    non-punctuation ratio (30%), non-digit ratio (20%) — the standard
+    cheap pre-filter stack for corpus curation, mirrored exactly by the
+    DuckDB oracle SQL."""
+    n_chars = F.length(col)
+    n_tokens = token_count(col)
+    punct = F.length(F.regexp_replace(col, r"[^!-/:-@\[-`{-~]", ""))
+    digits = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    safe = F.greatest(n_chars, F.lit(1))
+    return F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - punct / safe) * 0.3
+        + (F.lit(1.0) - digits / safe) * 0.2,
+        6,
+    )
