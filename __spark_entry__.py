@@ -482,7 +482,7 @@ def q_minhash_pairs(spark, sf):
 
 def q_simhash_pairs(spark, sf):
     d = read_table(spark, sf, "documents")
-    return text.simhash_pairs(d, n_bands=8, max_hamming=16)
+    return text.simhash_pairs(d, n_bands=4, max_hamming=4)
 
 
 def q_ann_bruteforce(spark, sf):

@@ -142,6 +142,7 @@ def test_content_column_pruned_before_shuffle(spark):
     out, _ = transform(corpus, BuildConfig(link_entities=False))
     assert "content" not in out.columns
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # content appears only below the mapInPandas node (scan side)
-    after_python = plan.split("MapInPandas")[0]
+    # content appears only below the Python map node (scan side)
+    marker = "MapInArrow" if "MapInArrow" in plan else "MapInPandas"
+    after_python = plan.split(marker)[0]
     assert "content" not in after_python

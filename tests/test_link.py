@@ -4,6 +4,7 @@ representative mapping; a skew case exercises big blocks."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tripleforge.link import (
@@ -25,40 +26,61 @@ def _mapping(df):
     return {r.member: r.representative for r in df.collect()}
 
 
-def test_cc_chain(spark):
+# threshold 10**9 → driver union-find path; 0 → distributed star rounds
+PATHS = [10**9, 0]
+
+
+@pytest.mark.parametrize("thr", PATHS)
+def test_cc_chain(spark, thr):
     # a-b-c-d-e chain → representative is the min member
     e = _edges(spark, [("b", "a"), ("c", "b"), ("d", "c"), ("e", "d")])
-    m = _mapping(connected_components(e))
+    m = _mapping(connected_components(e, driver_threshold=thr))
     assert m == {"b": "a", "c": "a", "d": "a", "e": "a"}
 
 
-def test_cc_star_and_clique(spark):
+@pytest.mark.parametrize("thr", PATHS)
+def test_cc_star_and_clique(spark, thr):
     e = _edges(
         spark,
         [("hub", "s1"), ("hub", "s2"), ("hub", "s3")]  # star
         + [("x", "y"), ("y", "z"), ("x", "z")],  # clique
     )
-    m = _mapping(connected_components(e))
+    m = _mapping(connected_components(e, driver_threshold=thr))
     assert m["s1"] == m["s2"] == m["s3"] == "hub"
     assert m["y"] == m["z"] == "x"
 
 
-def test_cc_multiple_components_and_partitions(spark):
+@pytest.mark.parametrize("thr", PATHS)
+def test_cc_multiple_components_and_partitions(spark, thr):
     # components spread across many partitions
     pairs = [(f"n{i}", f"n{i+1}") for i in range(0, 40, 2)]  # 20 2-node comps
     e = _edges(spark, pairs).repartition(8)
-    m = _mapping(connected_components(e))
+    m = _mapping(connected_components(e, driver_threshold=thr))
     assert len(m) == 20
     for i in range(0, 40, 2):
         assert m[f"n{i+1}"] == f"n{i}"
 
 
-def test_cc_long_chain_converges(spark):
+@pytest.mark.parametrize("thr", PATHS)
+def test_cc_long_chain_converges(spark, thr):
     n = 60
     e = _edges(spark, [(f"c{i:03d}", f"c{i+1:03d}") for i in range(n)])
-    m = _mapping(connected_components(e))
+    m = _mapping(connected_components(e, driver_threshold=thr))
     assert all(rep == "c000" for rep in m.values())
     assert len(m) == n
+
+
+def test_cc_paths_agree(spark):
+    """Driver union-find and distributed star rounds produce identical
+    mappings on a mixed graph (the hybrid-execution contract)."""
+    import random
+
+    rng = random.Random(3)
+    pairs = [(f"v{rng.randrange(80)}", f"v{rng.randrange(80)}") for _ in range(120)]
+    e = _edges(spark, [(u, v) for u, v in pairs if u != v])
+    assert _mapping(connected_components(e, driver_threshold=10**9)) == _mapping(
+        connected_components(e, driver_threshold=0)
+    )
 
 
 def test_candidate_edges_sameas_and_keys(spark):

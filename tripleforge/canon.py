@@ -260,6 +260,128 @@ def _canon_obj_udf(obj: pd.Series, obj_kind: pd.Series, obj_dt: pd.Series) -> pd
     return canonicalize_obj_frame(obj, obj_kind, obj_dt)
 
 
+# ---------------------------------------------------------------------------
+# Arrow-native canonicalization (the mapInArrow hot path): every fast
+# path stays in Arrow C++; Python touches only masked residues via
+# pc.replace_with_mask. ASCII text is NFC by definition, so NFC applies
+# only to the non-ASCII residue.
+# ---------------------------------------------------------------------------
+_NEEDS_WORK_RE2 = (
+    "%|/\\.\\.?(/|$)|^[^:/]*[A-Z][^:/]*:|^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*[A-Z:]"
+)
+_NON_ASCII_RE2 = "[^\\x00-\\x7f]"
+_CANON_INT_RE2 = "^(0|-?[1-9][0-9]*)$"
+
+
+def _replace_masked(arr, mask, fn):
+    """Apply python ``fn`` only to rows where mask is true (Arrow
+    scatter via replace_with_mask)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n_hits = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+    if n_hits == 0:
+        return arr
+    hits = pc.filter(arr, mask)
+    repl = pa.array([fn(v) for v in hits.to_pylist()], pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(mask, pa.ChunkedArray):
+        mask = mask.combine_chunks()
+    return pc.replace_with_mask(arr, mask, repl)
+
+
+def _norm_iri_arrow(arr):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mask = pc.fill_null(
+        pc.or_(
+            pc.match_substring_regex(arr, _NEEDS_WORK_RE2),
+            pc.match_substring_regex(arr, _NON_ASCII_RE2),
+        ),
+        False,
+    )
+    return _replace_masked(arr, mask, normalize_iri_str)
+
+
+def canonicalize_table(tbl):
+    """A9+A11 over a STATEMENT_RAW pyarrow Table (fused into the
+    mapInArrow parse stage)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    good = pc.fill_null(pc.is_null(tbl.column("error")), False)
+    # (error rows have null terms; the IRI/literal ops below no-op on null)
+    subj = _norm_iri_arrow(tbl.column("subj"))
+    pred = _norm_iri_arrow(tbl.column("pred"))
+
+    kind = tbl.column("obj_kind")
+    obj = tbl.column("obj")
+    dt = tbl.column("obj_dt")
+    is_iri = pc.fill_null(pc.equal(kind, "iri"), False)
+    iri_mask = pc.and_(
+        is_iri,
+        pc.fill_null(
+            pc.or_(
+                pc.match_substring_regex(obj, _NEEDS_WORK_RE2),
+                pc.match_substring_regex(obj, _NON_ASCII_RE2),
+            ),
+            False,
+        ),
+    )
+    obj = _replace_masked(obj, iri_mask, normalize_iri_str)
+    for dtype, fn in _CANON_FNS.items():
+        m = pc.fill_null(pc.equal(dt, dtype), False)
+        if dtype == XSD_INTEGER:
+            m = pc.and_(
+                m,
+                pc.invert(
+                    pc.fill_null(pc.match_substring_regex(obj, _CANON_INT_RE2), True)
+                ),
+            )
+        obj = _replace_masked(obj, m, fn)
+
+    graph = tbl.column("graph")
+    g_mask = pc.and_(
+        graph.is_valid() if not isinstance(graph, pa.ChunkedArray) else pc.is_valid(graph),
+        pc.fill_null(
+            pc.or_(
+                pc.match_substring_regex(graph, _NEEDS_WORK_RE2),
+                pc.match_substring_regex(graph, _NON_ASCII_RE2),
+            ),
+            False,
+        ),
+    )
+    graph = _replace_masked(graph, g_mask, normalize_iri_str)
+
+    out = tbl
+    for name, col in (("subj", subj), ("pred", pred), ("obj", obj), ("graph", graph)):
+        out = out.set_column(out.schema.get_field_index(name), name, col)
+    return out
+
+
+def canonicalize_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """A9+A11 over a statement *pandas* frame — the fused hot path.
+
+    The parse dispatcher calls this inside its own mapInPandas kernel so
+    parse+canon is ONE Python stage: chaining separate pandas_udf
+    columns costs a JVM↔Python Arrow round-trip of the whole frame per
+    column (5 round-trips measured ~4× slower end-to-end)."""
+    good = pdf["error"].isna()
+    if not good.any():
+        return pdf
+    pdf.loc[good, "subj"] = _normalize_iri_series(pdf.loc[good, "subj"])
+    pdf.loc[good, "pred"] = _normalize_iri_series(pdf.loc[good, "pred"])
+    pdf.loc[good, "obj"] = canonicalize_obj_frame(
+        pdf.loc[good, "obj"], pdf.loc[good, "obj_kind"], pdf.loc[good, "obj_dt"]
+    )
+    g = good & pdf["graph"].notna()
+    if g.any():
+        pdf.loc[g, "graph"] = _normalize_iri_series(pdf.loc[g, "graph"])
+    return pdf
+
+
 def canonicalize(df: DataFrame) -> DataFrame:
     """A9+A11 over a statement DataFrame: normalize subj/pred/graph IRIs
     and the object (IRI or typed literal). One Arrow pass per column."""

@@ -184,3 +184,65 @@ def corpus_df(spark, spec: CorpusSpec):
     from tripleforge.schema import CORPUS
 
     return spark.createDataFrame(generate_corpus(spec), CORPUS)
+
+
+def spark_corpus(
+    spark,
+    n_files: int,
+    stmts_per_file: int = 100,
+    n_repos: int | None = None,
+    skew_pct: int = 0,
+):
+    """Benchmark-scale deterministic corpus generated ENTIRELY JVM-side
+    (spark.range + format_string/xxhash64 expressions) — the driver
+    never materializes a row, so generating 10^6+ files is I/O-bound,
+    not Python-bound. Content is valid N-Triples with a deterministic
+    mix of IRI/plain/typed/lang objects keyed by xxhash64.
+
+    ``skew_pct``: percentage of files forced into repo 0 (the "giant
+    repo" whale for salt-and-split benchmarks).
+    """
+    from pyspark.sql import functions as F
+
+    n_repos = n_repos or max(1, n_files // 50)
+    fid = F.col("id")
+    repo_ix = F.when(
+        F.pmod(F.xxhash64(fid), 100) < skew_pct, F.lit(0)
+    ).otherwise(F.pmod(F.xxhash64(fid, F.lit(1)), n_repos))
+
+    def stmt(k):
+        # deterministic per (file, k) pseudo-randomness, all JVM exprs
+        h = F.xxhash64(fid, k)
+        subj = F.format_string(
+            "<http://example.org/r%d/e%d>", repo_ix, fid * stmts_per_file + k
+        )
+        pred = F.format_string(
+            "<http://example.org/vocab/p%d>", F.pmod(h, 20)
+        )
+        obj = (
+            F.when(
+                F.pmod(h, 5) < 2,
+                F.format_string("<http://example.org/obj/%d>", F.pmod(F.abs(h), 100000)),
+            )
+            .when(
+                F.pmod(h, 5) == 2,
+                F.format_string(
+                    '"%d"^^<http://www.w3.org/2001/XMLSchema#integer>',
+                    F.pmod(F.abs(h), 100000),
+                ),
+            )
+            .when(F.pmod(h, 5) == 3, F.format_string('"lit %d"@en', F.pmod(F.abs(h), 1000)))
+            .otherwise(F.format_string('"value %d"', F.pmod(F.abs(h), 100000)))
+        )
+        return F.concat_ws(" ", subj, pred, obj, F.lit("."))
+
+    content = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(stmts_per_file - 1)), stmt), "\n"
+    )
+    return spark.range(n_files).select(
+        F.format_string("org%d/repo%d", F.pmod(repo_ix, 10), repo_ix).alias("repo"),
+        F.format_string("data/f%d.nt", fid).alias("path"),
+        F.md5(F.format_string("f%d", fid)).alias("commit"),
+        F.lit("N-Triples").alias("lang"),
+        content.alias("content"),
+    )

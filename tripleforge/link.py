@@ -161,22 +161,66 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Edges → ``(member, representative)`` with representative =
-    component minimum. Converges in O(log n) alternating rounds; each
-    round is localCheckpoint()-ed to truncate the logical plan.
+def _union_find_local(rows: list) -> list[tuple[str, str]]:
+    """Driver-side union-find with path compression — exact same output
+    contract as the distributed path (member → component-min)."""
+    parent: dict[str, str] = {}
 
-    Returns only non-representative members (identity rows omitted) —
-    exactly what the rewrite join needs.
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min — representative is always the smaller root
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return [(x, find(x)) for x in parent if find(x) != x]
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    driver_threshold: int = 1_000_000,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """Edges → ``(member, representative)`` with representative =
+    component minimum (only non-representative members returned — what
+    the rewrite join needs).
+
+    Hybrid execution, the same idea as AQE's runtime re-planning: if the
+    normalized edge set fits comfortably on the driver
+    (≤ ``driver_threshold`` edges), a local union-find resolves it in
+    one pass — iterating Spark jobs over kilobytes is pure overhead.
+    Above the threshold it runs the DataFrame-native alternating
+    large-star/small-star algorithm (Kiveris et al., SoCC'14):
+    O(log n) rounds, each 2-3 shuffles, with the lineage truncated by
+    ``localCheckpoint`` every ``checkpoint_interval`` rounds so plan
+    re-optimization doesn't dominate at high round counts.
     """
+    spark = edges.sparkSession
     cur = normalize_edges(edges).localCheckpoint(eager=True)
-    if cur.isEmpty():
+    n_edges = cur.count()
+    if n_edges == 0:
         return cur.select(
             F.col("u").alias("member"), F.col("v").alias("representative")
         )
+    if n_edges <= driver_threshold:
+        mapping = _union_find_local([(r["u"], r["v"]) for r in cur.collect()])
+        return spark.createDataFrame(
+            mapping, "member string, representative string"
+        )
+
     prev_sig = None
-    for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+    for i in range(max_iter):
+        cur = _small_star(_large_star(cur))
+        if (i + 1) % checkpoint_interval == 0:
+            cur = cur.localCheckpoint(eager=True)
         # convergence: stable order-independent signature of the edge set
         sig = cur.select(
             F.count(F.lit(1)).alias("n"),

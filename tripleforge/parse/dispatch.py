@@ -36,7 +36,11 @@ _KERNELS = {
 }
 
 
-def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _parse_batches(
+    batches: Iterator[pd.DataFrame], canonicalize: bool = False
+) -> Iterator[pd.DataFrame]:
+    if canonicalize:
+        from tripleforge.canon import canonicalize_frame
     for pdf in batches:
         if len(pdf) == 0:
             continue
@@ -49,17 +53,87 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             parts.append(kernel(group))
         out = pd.concat(parts, ignore_index=True) if parts else empty_raw_frame()
+        if canonicalize and len(out):
+            out = canonicalize_frame(out)
         yield out
 
 
-def parse_corpus(corpus_with_format: DataFrame) -> DataFrame:
+def _parse_batches_arrow(batches, canonicalize: bool = False):
+    """mapInArrow kernel: NT/NQ go through the Arrow-native fast path
+    (pyarrow.compute, no per-row Python objects); Turtle/RDF-XML rows
+    convert to pandas for their recursive-descent kernels (inherently
+    per-file) and convert back. One Python stage for everything."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tripleforge.canon import canonicalize_table
+    from tripleforge.parse.arrow_ntnq import _empty_table, parse_batch_arrow
+
+    target_schema = _empty_table().schema
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        fmt = batch.column(batch.schema.get_field_index("format"))
+        parts: list[pa.Table] = []
+        for f, quads in ((FORMAT_NT, False), (FORMAT_NQ, True)):
+            sub = batch.filter(pc.equal(fmt, f))
+            if sub.num_rows:
+                parts.append(parse_batch_arrow(sub, quads, f))
+        pandas_mask = pc.is_in(fmt, value_set=pa.array([FORMAT_TTL, FORMAT_RDFXML]))
+        sub = batch.filter(pandas_mask)
+        if sub.num_rows:
+            pdf = sub.to_pandas()
+            frames = []
+            for f, kernel in ((FORMAT_TTL, parse_ttl), (FORMAT_RDFXML, parse_rdfxml)):
+                grp = pdf[pdf["format"] == f]
+                if len(grp):
+                    frames.append(kernel(grp))
+            if frames:
+                out_pdf = pd.concat(frames, ignore_index=True)
+                parts.append(
+                    pa.Table.from_pandas(
+                        out_pdf, schema=target_schema, preserve_index=False
+                    )
+                )
+        if not parts:
+            continue
+        tbl = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+        if canonicalize:
+            tbl = canonicalize_table(tbl)
+        yield from tbl.to_batches()
+
+
+def parse_corpus(
+    corpus_with_format: DataFrame,
+    canonicalize: bool = False,
+    engine: str = "arrow",
+) -> DataFrame:
     """Corpus (with ``format`` column) → raw statement/error stream.
 
     Column pruning matters at scale: only the five columns the kernels
     need cross the Arrow boundary — `content` never survives past this
     operator (SURVEY §4 "never drag content past stage 4").
+
+    ``canonicalize=True`` fuses A9-A11 into the same Python stage (one
+    round-trip for parse+canon instead of five).
+
+    ``engine="arrow"`` (default) uses mapInArrow with the
+    pyarrow.compute NT/NQ kernel — allocation-light, scales linearly
+    with cores where the pandas kernel anti-scales past ~8 workers;
+    ``engine="pandas"`` keeps the reference kernel (tests compare both).
     """
     slim = corpus_with_format.select("repo", "path", "commit", "format", "content")
+    if engine == "arrow":
+        def fused_arrow(batches):
+            return _parse_batches_arrow(batches, canonicalize=canonicalize)
+
+        return slim.mapInArrow(fused_arrow, STATEMENT_RAW)
+    if canonicalize:
+        def fused(batches):
+            return _parse_batches(batches, canonicalize=True)
+
+        return slim.mapInPandas(fused, STATEMENT_RAW)
     return slim.mapInPandas(_parse_batches, STATEMENT_RAW)
 
 

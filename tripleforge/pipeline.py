@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tripleforge import canon, link, lineage as lineage_mod, ops
+from tripleforge import link, lineage as lineage_mod, ops
 from tripleforge.catalog.base import Catalog
 from tripleforge.checkpoint import filter_pending
 from tripleforge.detect import with_format
@@ -31,7 +31,12 @@ class BuildConfig:
     link_entities: bool = True
     link_key_preds: list[str] = field(default_factory=list)
     max_block: int = 10_000
-    balance_partitions: int | None = None  # default: 4× shuffle partitions
+    # Explicit pre-parse repartition (A23). None = skip: shuffling raw
+    # `content` costs more than it saves when the scan's input splits
+    # are already size-bounded (spark.sql.files.maxPartitionBytes splits
+    # whale repos across tasks regardless of row grouping). Set it for
+    # corpora whose upstream layout is pathologically clustered.
+    balance_partitions: int | None = None
     run_id: str | None = None
     resume: bool = True
     canonicalize: bool = True
@@ -52,17 +57,13 @@ def transform(
     errors). Used by the build, the streaming foreachBatch path, and
     tests — single source of truth for parse/canon semantics."""
     cfg = cfg or BuildConfig()
-    spark = corpus.sparkSession
-    n_balance = cfg.balance_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-
     prepared = with_format(ops.with_sha256(corpus))
-    prepared = ops.balance(prepared, n_balance)  # SHUFFLE #1 (skew-safe)
-    raw = parse_corpus(prepared)  # Arrow boundary, same stage
+    if cfg.balance_partitions:
+        # optional SHUFFLE #1 (A23 salt-and-split) — see BuildConfig
+        prepared = ops.balance(prepared, cfg.balance_partitions)
+    # parse + canon FUSED into one Python stage (one Arrow round-trip)
+    raw = parse_corpus(prepared, canonicalize=cfg.canonicalize)
     stmts, errors = split_errors(raw)
-    if cfg.canonicalize:
-        stmts = canon.canonicalize(stmts)
     stmts = ops.assign_graph(stmts, cfg.graph_override)
 
     if cfg.link_entities:

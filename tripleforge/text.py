@@ -100,10 +100,14 @@ def shingles(col: Column, k: int = 5) -> Column:
 
 
 def _shingle_posting(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc, sh) posting list; the shingle is xxhash64-compressed to a
+    long so downstream shuffles/joins move 8 bytes, not k-word strings —
+    at corpus scale the shuffle width is the cost driver (collisions at
+    64 bits are negligible for dedup purposes)."""
     return df.select(
         F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), k)).alias("sh"),
-    )
+        F.explode(shingles(F.col(text_col), k)).alias("sh_raw"),
+    ).select("doc", F.xxhash64("sh_raw").alias("sh"))
 
 
 def jaccard_pairs(
@@ -122,7 +126,9 @@ def jaccard_pairs(
     the join — the standard guard against the O(df²) hot-key blowup at
     corpus scale (AQE skew-join remains the backstop).
     """
-    posting = _shingle_posting(df, id_col, text_col, k)
+    # the posting list feeds 4 downstream branches (sizes, cap counts,
+    # both join sides) — persist so tokenize+shingle runs once, not 4×
+    posting = _shingle_posting(df, id_col, text_col, k).persist()
     sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     capped = block_and_cap(posting, ["sh"], max_posting)
     a = capped.withColumnRenamed("doc", "doc_a")
@@ -154,10 +160,13 @@ def jaccard_pairs(
 
 
 def minhash_signature(col: Column, n_hashes: int = 32) -> Column:
-    """MinHash signature (array<bigint>): per hash function i, the min
-    over shingles of xxhash64(shingle, salt_i). Pure JVM expressions —
-    one pass over the shingle array per document via higher-order
-    ``transform``/``array_min``; no explode, no shuffle."""
+    """MinHash signature (array<bigint>) as a single column expression:
+    per hash function i, min over shingles of xxhash64(shingle, salt_i).
+
+    NOTE: higher-order lambdas are interpreted (not codegen) in Spark —
+    fine for ad-hoc column use, but the dedup pipeline uses
+    :func:`minhash_signatures` (explode + codegen hash aggregate)
+    which is ~10× faster at scale."""
     sh = shingles(col)
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
@@ -165,6 +174,21 @@ def minhash_signature(col: Column, n_hashes: int = 32) -> Column:
             F.transform(sh, lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))))
         ),
     )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = 32
+) -> DataFrame:
+    """→ (doc, h0..h{n-1}): explode shingles once, then ONE codegen'd
+    hash aggregate computes all n_hashes minima (per-hash salt mixed in
+    with a second xxhash64 seed column). Map-side partial aggregation
+    collapses each doc's shingles before the shuffle."""
+    posting = _shingle_posting(df, id_col, text_col, k=5)
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return posting.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -185,29 +209,16 @@ def minhash_lsh_pairs(
     (constant documents) capped like linking blocks.
     """
     r = n_hashes // n_bands
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(F.col(text_col), n_hashes).alias("sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
     bands = sig.select(
-        "doc",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * r + 1, r),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        "doc", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     bands = block_and_cap(bands, ["band", "bucket"], max_bucket)
     a = bands.withColumnRenamed("doc", "doc_a")
@@ -256,6 +267,31 @@ def simhash(col: Column, n_bits: int = 64) -> Column:
     return F.concat(*bits)
 
 
+def simhash_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 64
+) -> DataFrame:
+    """→ (doc, sh): the scalable SimHash — explode tokens once, hash
+    each token once, then ONE codegen'd hash aggregate computes all
+    n_bits signed sums (map-side combined). The bit string is assembled
+    from the aggregate columns afterwards."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).select("doc", F.xxhash64("t").alias("h"))
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+        for j in range(n_bits)
+    ]
+    summed = tok.groupBy("doc").agg(*aggs)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(n_bits)
+        ]
+    )
+    return summed.select("doc", bits.alias("sh"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -269,20 +305,16 @@ def simhash_pairs(
     hamming ≤ (n_bands−1) collides on ≥1 band — pigeonhole), bucket-join,
     verify exact hamming distance ≤ max_hamming."""
     r = n_bits // n_bands
-    hashed = df.select(
-        F.col(id_col).alias("doc"), simhash(F.col(text_col), n_bits).alias("sh")
-    )
+    hashed = simhash_df(df, id_col, text_col, n_bits)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring(F.col("sh"), b * r + 1, r).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
     bands = hashed.select(
-        "doc",
-        "sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"), F.substring(F.col("sh"), b * r + 1, r).alias("bucket")
-                ),
-            )
-        ).alias("bb"),
+        "doc", "sh", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     bands = block_and_cap(bands, ["band", "bucket"], max_bucket)
     a = bands.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "bucket")

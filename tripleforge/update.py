@@ -95,16 +95,8 @@ def delete_data(
     )
     n = remaining.count()
     lin = _empty_lineage(spark, "delete_data", n)
-    if hasattr(catalog, "commit_snapshot"):
-        try:
-            return catalog.commit_snapshot(
-                remaining,
-                lin,
-                run_id=run_id or uuid.uuid4().hex,
-                operation="overwrite",
-                replace_paths=[],
-            )
-        except TypeError:
-            return catalog.commit_snapshot(
-                remaining, lin, run_id=run_id or uuid.uuid4().hex, operation="overwrite"
-            )
+    # read side is fully consumed before the overwrite commit (remaining
+    # was counted), so the full-replacement snapshot is safe
+    return catalog.commit_snapshot(
+        remaining, lin, run_id=run_id or uuid.uuid4().hex, operation="overwrite"
+    )
