@@ -418,6 +418,107 @@ def q_asof_join(spark, sf):
     )
 
 
+def q_cube(spark, sf):
+    e = read_table(spark, sf, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts").cast("timestamp")), "yyyy-MM-dd")
+    return (
+        e.select(F.col("event_type"), day.alias("day"))
+        .cube("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n",
+        )
+    )
+
+
+def q_grouping_sets(spark, sf):
+    """B20 — explicit grouping sets via the Spark 4 DataFrame API."""
+    r = read_table(spark, sf, "region")
+    n = read_table(spark, sf, "nation")
+    c = read_table(spark, sf, "customer")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.groupingSets(
+            [["r_name"], ["n_name"], []], "r_name", "n_name"
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "n_customers",
+        )
+    )
+
+
+def q_unpivot(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("measure").agg(
+        F.round(F.avg("val"), 6).alias("avg_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_collect_set(spark, sf):
+    o = read_table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities")
+    )
+
+
+def q_ntile(spark, sf):
+    o = read_table(spark, sf, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("tile", F.ntile(4).over(w))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        )
+    )
+
+
+def q_date_trunc(spark, sf):
+    e = read_table(spark, sf, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts").cast("timestamp")), "yyyy-MM-dd")
+    return e.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_levenshtein(spark, sf):
+    n = read_table(spark, sf, "nation")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 4)
+    )
+
+
+def q_corr_stats(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+    )
+
+
 def q_approx_distinct(spark, sf):
     """B19 — sketch-based cardinality (engine-specific sketch → no SQL
     oracle; rows-only check)."""
@@ -526,6 +627,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "count_distinct": q_count_distinct,
         "rollup": q_rollup,
+        "cube": q_cube,
+        "grouping_sets": q_grouping_sets,
+        "unpivot": q_unpivot,
+        "collect_set": q_collect_set,
+        "ntile": q_ntile,
+        "date_trunc": q_date_trunc,
+        "levenshtein": q_levenshtein,
+        "corr_stats": q_corr_stats,
         "percentiles": q_percentiles,
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
@@ -685,6 +794,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "cube": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY CUBE(event_type, date_trunc('day', ts))
+        """,
+        "grouping_sets": """
+            SELECT COALESCE(r_name, 'ALL') AS r_name,
+                   COALESCE(n_name, 'ALL') AS n_name,
+                   COUNT(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """,
+        "unpivot": """
+            SELECT measure, ROUND(AVG(val), 6) AS avg_val, COUNT(*) AS n
+            FROM (
+              SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', l_tax FROM lineitem
+            ) GROUP BY measure
+        """,
+        "collect_set": """
+            SELECT o_orderstatus,
+                   array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+                     AS priorities
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "ntile": """
+            SELECT tile, COUNT(*) AS n, ROUND(MIN(o_totalprice), 2) AS min_price
+            FROM (
+              SELECT NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS tile,
+                     o_totalprice
+              FROM orders
+            ) GROUP BY tile
+        """,
+        "date_trunc": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "levenshtein": """
+            SELECT a.n_name AS name_a, b.n_name AS name_b,
+                   levenshtein(a.n_name, b.n_name) AS dist
+            FROM nation a JOIN nation b ON a.n_name < b.n_name
+            WHERE levenshtein(a.n_name, b.n_name) <= 4
+        """,
+        "corr_stats": """
+            SELECT l_returnflag,
+                   ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+                   ROUND(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar
+            FROM lineitem GROUP BY l_returnflag
         """,
         "percentiles": """
             SELECT l_returnflag,

@@ -37,6 +37,11 @@ def main() -> int:
     ap.add_argument("--repeat", type=int, default=1,
                     help="timed repetitions (fresh catalog subdir each); "
                     "one JSON line per run")
+    ap.add_argument("--compute-only", action="store_true",
+                    help="run the dataflow (parse+canon+link+dedup) and "
+                    "count, skipping persist/snapshot-write — isolates "
+                    "the compute path from single-disk I/O for scaling "
+                    "measurements")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -52,6 +57,42 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     corpus = read_corpus(spark, args.corpus)
+    if args.compute_only:
+        from tripleforge.pipeline import transform
+
+        cfg = BuildConfig(
+            graph_override=args.graph, link_entities=not args.no_link
+        )
+        # warmup (JIT, python workers) before the timed runs
+        transform(corpus.limit(200), cfg)[0].count()
+        for i in range(args.repeat):
+            t0 = time.perf_counter()
+            stmts, _ = transform(corpus, cfg)
+            n = stmts.count()
+            wall = time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {
+                        "rep": i,
+                        "mode": "compute",
+                        "n_statements": n,
+                        "wall_s": round(wall, 3),
+                        "triples_per_sec": round(n / wall, 1),
+                        "master": spark.sparkContext.master,
+                    }
+                ),
+                flush=True,
+            )
+        spark.stop()
+        return 0
+    if args.repeat > 1:
+        # warmup build (JIT, codegen, python workers) into a throwaway dir
+        build(
+            spark,
+            corpus.limit(200),
+            ParquetSnapshotCatalog(spark, f"{args.catalog}/warmup"),
+            BuildConfig(link_entities=False, resume=False, run_id="warmup"),
+        )
     for i in range(args.repeat):
         catalog = ParquetSnapshotCatalog(
             spark, args.catalog if args.repeat == 1 else f"{args.catalog}/rep{i}"

@@ -1,0 +1,70 @@
+"""Query CLI — the analog of the reference's ``sparql`` tool (read a
+query, execute against the store, print tabular results), re-expressed
+as triple-pattern / BGP queries over the snapshot catalog.
+
+    python jobs/query.py --catalog /path/to/catalog \
+        --pattern '?s,http://www.w3.org/1999/02/22-rdf-syntax-ns#type,?t,?g'
+
+    python jobs/query.py --catalog /path --bgp \
+        '?d,urn:p:source,?s ?d,urn:p:nchars,?n' --limit 20
+
+Terms: ``?name`` = variable, anything else = constant, empty = unbound
+(not projected). ``--snapshot`` pins a snapshot id (time travel).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _term(t: str):
+    return t if t else None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--catalog", required=True)
+    ap.add_argument("--pattern", help="s,p,o[,g] — one triple pattern")
+    ap.add_argument("--bgp", help="space-separated list of s,p,o[,g] patterns")
+    ap.add_argument("--snapshot", type=int, default=None)
+    ap.add_argument("--limit", type=int, default=100)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from tripleforge.catalog import ParquetSnapshotCatalog
+    from tripleforge.query import Pattern, bgp, match
+    from tripleforge.session import get_spark
+
+    spark = get_spark("tripleforge-query", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = ParquetSnapshotCatalog(spark, args.catalog)
+    stmts = catalog.read_statements(snapshot_id=args.snapshot)
+
+    if args.pattern:
+        parts = [(_term(x)) for x in args.pattern.split(",")]
+        while len(parts) < 4:
+            parts.append(None)
+        result = match(stmts, *parts[:4])
+    elif args.bgp:
+        pats = []
+        for p in args.bgp.split():
+            parts = [(_term(x)) for x in p.split(",")]
+            while len(parts) < 4:
+                parts.append(None)
+            pats.append(Pattern(*parts[:4]))
+        result = bgp(stmts, pats)
+    else:
+        ap.error("need --pattern or --bgp")
+        return 2
+
+    result.show(args.limit, truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

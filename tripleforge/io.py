@@ -56,6 +56,20 @@ def read_files_as_corpus(spark: SparkSession, glob: str, repo: str = "local") ->
     )
 
 
+def read_aux(
+    spark: SparkSession, path: str, schema: str, fmt: str = "csv", **options
+) -> DataFrame:
+    """B4 — auxiliary config/fixture scan (CSV/JSON) with an EXPLICIT
+    schema — inference at scale is slow and nondeterministic (SURVEY
+    §1.3), so none is permitted here."""
+    reader = spark.read.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
 def with_graph_bucket(df: DataFrame, n_buckets: int = N_GRAPH_BUCKETS) -> DataFrame:
     """A20 — stable hash bucket of the graph IRI for partitioned writes.
 

@@ -81,24 +81,44 @@ def build(
     catalog: Catalog,
     cfg: BuildConfig | None = None,
 ) -> BuildResult:
-    """Resume-filtered build + atomic snapshot commit (A22)."""
+    """Resume-filtered build + atomic snapshot commit (A22).
+
+    Execution-pass economics (what matters at 100 TB): the PARSE is the
+    expensive stage, so its raw output (statements ∪ error rows, before
+    dedup) is materialized exactly once — ``persist()`` here, a staging
+    table on a real cluster — and every consumer (error metrics, lineage
+    aggregation, the dedup+write) derives from that materialization.
+    Without this the errors branch silently re-parses the whole corpus.
+    """
     cfg = cfg or BuildConfig()
     run_id = cfg.run_id or uuid.uuid4().hex
     if cfg.resume:
         corpus = filter_pending(corpus, catalog)
 
-    stmts, errors = transform(corpus, cfg)
-    # one pass: cache the deduped statements for write + metrics
-    stmts = stmts.persist()
-    errors = errors.persist()
+    prepared = with_format(ops.with_sha256(corpus))
+    if cfg.balance_partitions:
+        prepared = ops.balance(prepared, cfg.balance_partitions)
+    raw = parse_corpus(prepared, canonicalize=cfg.canonicalize).persist()
+
+    stmts, errors = split_errors(raw)
+    stmts = ops.assign_graph(stmts, cfg.graph_override)
+    if cfg.link_entities:
+        edges = link.candidate_edges(stmts, cfg.link_key_preds, cfg.max_block)
+        mapping = link.connected_components(edges)
+        stmts = link.rewrite(stmts, mapping)
+    stmts = ops.dedup(stmts)
+
     lin = (
         lineage_mod.collect(stmts, errors)
         .withColumn("run_id", F.lit(run_id))
         .withColumn("committed_at", F.current_timestamp())
+        .persist()
     )
+    # totals come from the (tiny, cached) lineage — no extra full pass
+    totals = lin.agg(
+        F.sum("n_triples").alias("t"), F.sum("n_errors").alias("e")
+    ).first()
     sid = catalog.commit_snapshot(stmts, lin, run_id=run_id)
-    n_stmts = stmts.count()
-    n_errs = errors.count()
-    stmts.unpersist()
-    errors.unpersist()
-    return BuildResult(sid, run_id, n_stmts, n_errs)
+    lin.unpersist()
+    raw.unpersist()
+    return BuildResult(sid, run_id, int(totals["t"] or 0), int(totals["e"] or 0))

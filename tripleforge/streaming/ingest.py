@@ -82,6 +82,31 @@ def session_windows(
     )
 
 
+def stateful_repo_counters(stream: DataFrame) -> DataFrame:
+    """D7 — custom stateful per-key processing: incremental per-repo
+    file counters via ``applyInPandasWithState`` (Arrow-batched grouped
+    state; state = one running total per repo, bounded by repo count).
+    Emits (repo, n_files_in_batch, total_files_ever) per micro-batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n = sum(len(p) for p in pdfs)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame(
+            {"repo": [key[0]], "n_files": [n], "total_files": [total]}
+        )
+
+    return stream.groupBy("repo").applyInPandasWithState(
+        fn,
+        outputStructType="repo string, n_files long, total_files long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def incremental_build(
     spark: SparkSession,
     source_path: str,
