@@ -275,6 +275,39 @@ def q_window_rank(spark, sf):
     )
 
 
+def q_rank_variants(spark, sf):
+    """B23 — row_number vs rank vs dense_rank on a column with ties."""
+    li = read_table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_quantity"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("rn") <= 50)
+    )
+
+
+def q_range_frame(spark, sf):
+    """B25 — RANGE frame: per user, events within value−5.0 … value.
+    (The Python Window API only takes integral range bounds; the SQL
+    window expression supports decimal frames.)"""
+    e = read_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.expr(
+            "count(*) OVER (PARTITION BY user_id ORDER BY value "
+            "RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW)"
+        ).alias("n_close_values"),
+    )
+
+
 def q_window_lag(spark, sf):
     o = read_table(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -637,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": q_corr_stats,
         "percentiles": q_percentiles,
         "window_rank": q_window_rank,
+        "rank_variants": q_rank_variants,
+        "range_frame": q_range_frame,
         "window_lag": q_window_lag,
         "window_running": q_window_running,
         "topk": q_topk,
@@ -865,6 +900,24 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rnk
               FROM orders
             ) WHERE rnk <= 3
+        """,
+        "rank_variants": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, rn, rnk, drnk FROM (
+              SELECT l_returnflag, l_orderkey, l_linenumber,
+                ROW_NUMBER() OVER w AS rn,
+                RANK() OVER w AS rnk,
+                DENSE_RANK() OVER w AS drnk
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_returnflag
+                           ORDER BY l_quantity DESC, l_orderkey, l_linenumber)
+            ) WHERE rn <= 50
+        """,
+        "range_frame": """
+            SELECT event_id,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY value
+                                  RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW)
+                     AS n_close_values
+            FROM events
         """,
         "window_lag": """
             SELECT o_orderkey, price_delta FROM (
