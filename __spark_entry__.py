@@ -552,6 +552,39 @@ def q_corr_stats(spark, sf):
     )
 
 
+def q_map_funcs(spark, sf):
+    """§2.C map family: per-user event_type→count map built with
+    map_from_entries, probed with element_at / map_keys."""
+    from tripleforge.functions import entries_to_map
+
+    e = read_table(spark, sf, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per_type.groupBy("user_id").agg(
+        entries_to_map(F.col("event_type"), F.col("cnt")).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("n_purchase"),
+        F.size(F.map_keys(F.col("m"))).alias("n_types"),
+    )
+
+
+def q_grouped_udaf(spark, sf):
+    """§2.E grouped-agg pandas UDAF: discount-weighted mean extended
+    price per return flag (no built-in weighted aggregate exists)."""
+    from tripleforge.functions import weighted_mean
+
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            weighted_mean(F.col("l_extendedprice"), F.col("l_quantity")), 4
+        ).alias("qty_weighted_price")
+    )
+
+
 def q_approx_distinct(spark, sf):
     """B19 — sketch-based cardinality (engine-specific sketch → no SQL
     oracle; rows-only check)."""
@@ -682,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
+        "map_funcs": q_map_funcs,
+        "grouped_udaf": q_grouped_udaf,
         "approx_distinct": q_approx_distinct,
         "sampling": q_sampling,
         # training-data ops
@@ -984,6 +1019,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND c.ts <= p.ts
+        """,
+        "map_funcs": """
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   COUNT(DISTINCT event_type) AS n_types
+            FROM events GROUP BY user_id
+        """,
+        "grouped_udaf": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+                     AS qty_weighted_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         # --- training-data ops
         "dedup_exact": f"""
