@@ -209,11 +209,16 @@ def parse_corpus_rows(rows, canonicalize: bool = True):
     for repo, path, commit, lang, content in rows:
         is_nq = (lang or "").lower().startswith("n-q") or path.endswith(".nq")
         is_nt = (lang or "").lower().startswith("n-t") or path.endswith(".nt")
+        # datagen's Turtle bodies are the N-Triples subset of Turtle plus
+        # @prefix directives — the oracle covers them by dropping '@' lines
+        is_ttl = (lang or "").lower() == "turtle" or path.endswith(".ttl")
+        if is_ttl:
+            is_nt = True
         if not (is_nt or is_nq):
             continue
         for line in content.split("\n"):
             line = line.strip()
-            if not line or line.startswith("#"):
+            if not line or line.startswith("#") or (is_ttl and line.startswith("@")):
                 continue
             try:
                 cur = _Cursor(line)
