@@ -141,15 +141,22 @@ def test_salted_join_matches_plain_join(spark):
 
 
 def test_pipeline_linking_end_to_end(spark):
-    """owl:sameAs chain across repos → subjects rewritten to one rep."""
+    """owl:sameAs chains across repos → all DATA statements rewritten to
+    component representatives; the sameAs assertions themselves stay
+    verbatim (provenance for future cross-snapshot compaction)."""
     from tripleforge.datagen import CorpusSpec, corpus_df
+    from tripleforge.link import candidate_edges, connected_components
     from tripleforge.pipeline import BuildConfig, transform
 
     spec = CorpusSpec(n_repos=3, files_per_repo=2, stmts_per_file=10, link_rate=0.3)
     corpus = corpus_df(spark, spec)
     stmts, _ = transform(corpus, BuildConfig(link_entities=True))
-    # no owl:sameAs edge may survive with subj != obj after rewrite
-    bad = stmts.where(
-        (F.col("pred") == OWL_SAMEAS) & (F.col("subj") != F.col("obj"))
+    mapping = connected_components(candidate_edges(stmts))
+    # no linked MEMBER may appear as the subject of a non-sameAs statement
+    data = stmts.where(F.col("pred") != OWL_SAMEAS)
+    leftovers = data.join(
+        mapping.withColumnRenamed("member", "subj"), "subj", "inner"
     )
-    assert bad.count() == 0
+    assert leftovers.count() == 0
+    # sameAs assertions preserved as asserted
+    assert stmts.where(F.col("pred") == OWL_SAMEAS).count() > 0

@@ -27,7 +27,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(6)
+            import os
+            if os.environ.get("ORACLE_EXACT") != "1":
+                df[c] = df[c].round(6)
         elif str(df[c].dtype).startswith(("int", "uint", "Int")):
             df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)

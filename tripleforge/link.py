@@ -239,12 +239,29 @@ def connected_components(
 # ---------------------------------------------------------------------------
 # A17 — canonical-representative rewrite
 # ---------------------------------------------------------------------------
-def rewrite(stmts: DataFrame, mapping: DataFrame, broadcast: bool = True) -> DataFrame:
+def rewrite(
+    stmts: DataFrame,
+    mapping: DataFrame,
+    broadcast: bool = True,
+    preserve_sameas: bool = True,
+) -> DataFrame:
     """Replace subj and IRI-valued obj by the component representative.
+
+    ``owl:sameAs`` assertions are preserved VERBATIM (like a triplestore
+    stores them as-asserted): rewriting them would collapse each link to
+    a self-loop and erase the provenance that future cross-snapshot
+    compactions (pipeline.compact_links) need to connect components
+    spanning runs.
 
     The mapping (linked members only) is small relative to the
     statement table → broadcast both joins; no shuffle of ``stmts``.
     """
+    if preserve_sameas:
+        sameas = stmts.where(F.col("pred") == OWL_SAMEAS)
+        rest = stmts.where(F.col("pred") != OWL_SAMEAS)
+        return rewrite(rest, mapping, broadcast, preserve_sameas=False).unionByName(
+            sameas
+        )
     m = F.broadcast(mapping) if broadcast else mapping
     ms = m.withColumnRenamed("member", "subj").withColumnRenamed(
         "representative", "_srep"

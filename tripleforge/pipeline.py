@@ -50,6 +50,45 @@ class BuildResult:
     n_errors: int
 
 
+def compact_links(
+    spark: SparkSession,
+    catalog: Catalog,
+    cfg: BuildConfig | None = None,
+    run_id: str | None = None,
+) -> BuildResult:
+    """Cross-run entity-linking compaction (SURVEY §2.D10: incremental
+    CC is not streamable with bounded state, so linking runs as periodic
+    batch compaction over committed snapshots).
+
+    Reads ALL live statements, resolves the full equivalence closure
+    (sameAs edges may span snapshots committed by different runs),
+    rewrites subjects/objects to component representatives, dedups, and
+    commits the result as a full-replacement (overwrite) snapshot —
+    previous snapshots stay readable via time travel.
+    """
+    import uuid as _uuid
+
+    cfg = cfg or BuildConfig()
+    rid = run_id or ("compact-" + _uuid.uuid4().hex)
+    live = catalog.read_statements().select(
+        "subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang", "graph",
+        "src_repo", "src_path", "src_commit",
+    )
+    edges = link.candidate_edges(live, cfg.link_key_preds, cfg.max_block)
+    mapping = link.connected_components(edges)
+    rewritten = ops.dedup(link.rewrite(live, mapping))
+    n = rewritten.count()
+    lin = spark.createDataFrame(
+        [("compact", None, None, 0, n, 0, None)],
+        "parser string, repo string, commit string, n_files long, "
+        "n_triples long, n_errors long, checksum string",
+    ).withColumn("run_id", F.lit(rid)).withColumn(
+        "committed_at", F.current_timestamp()
+    )
+    sid = catalog.commit_snapshot(rewritten, lin, run_id=rid, operation="overwrite")
+    return BuildResult(sid, rid, n, 0)
+
+
 def transform(
     corpus: DataFrame, cfg: BuildConfig | None = None
 ) -> tuple[DataFrame, DataFrame]:

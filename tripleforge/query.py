@@ -29,6 +29,7 @@ class Pattern:
     p: str | None = None
     o: str | None = None
     g: str | None = None
+    optional: bool = False  # SPARQL OPTIONAL analog → left outer join
 
     @property
     def bound_count(self) -> int:
@@ -61,18 +62,31 @@ def match(
 def bgp(statements: DataFrame, patterns: list[Pattern]) -> DataFrame:
     """Basic graph pattern: join pattern scans on shared variables.
 
-    Patterns are ordered most-selective-first (bound-term count) — a
-    cheap deterministic heuristic ahead of Catalyst's own reordering.
+    Required patterns are ordered most-selective-first (bound-term
+    count) — a cheap deterministic heuristic ahead of Catalyst's own
+    reordering — and joined inner; OPTIONAL patterns (SPARQL §6) join
+    last as left-outer, preserving unmatched rows with null bindings.
     Joins are equi-joins on the shared variable names, so Catalyst picks
     broadcast/SMJ per AQE statistics.
     """
-    ordered = sorted(patterns, key=lambda pt: -pt.bound_count)
+    required = sorted(
+        (pt for pt in patterns if not pt.optional), key=lambda pt: -pt.bound_count
+    )
+    optionals = [pt for pt in patterns if pt.optional]
     result: DataFrame | None = None
-    for pt in ordered:
+    for pt in required:
         scan = match(statements, pt.s, pt.p, pt.o, pt.g)
         if result is None:
             result = scan
             continue
         shared = [c for c in scan.columns if c in result.columns]
         result = result.join(scan, on=shared, how="inner") if shared else result.crossJoin(scan)
-    return result if result is not None else statements.limit(0)
+    if result is None:
+        result = statements.limit(0)
+    for pt in optionals:
+        scan = match(statements, pt.s, pt.p, pt.o, pt.g)
+        shared = [c for c in scan.columns if c in result.columns]
+        if not shared:
+            raise ValueError("OPTIONAL pattern shares no variable with the BGP")
+        result = result.join(scan, on=shared, how="left")
+    return result
