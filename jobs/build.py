@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--corpus", required=True, help="corpus parquet dir or iceberg:<table>")
+    ap.add_argument("--corpus", help="corpus parquet dir or iceberg:<table> (not needed with --compact)")
     ap.add_argument("--catalog", required=True, help="snapshot-catalog root dir")
     ap.add_argument("--master", default=None)
     ap.add_argument("--run-id", default=None)
@@ -37,6 +37,9 @@ def main() -> int:
     ap.add_argument("--repeat", type=int, default=1,
                     help="timed repetitions (fresh catalog subdir each); "
                     "one JSON line per run")
+    ap.add_argument("--compact", action="store_true",
+                    help="run cross-snapshot linking compaction instead "
+                    "of a build (pipeline.compact_links)")
     ap.add_argument("--compute-only", action="store_true",
                     help="run the dataflow (parse+canon+link+dedup) and "
                     "count, skipping persist/snapshot-write — isolates "
@@ -56,6 +59,25 @@ def main() -> int:
     spark = get_spark("tripleforge-build", master=args.master, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
+    if args.compact:
+        from tripleforge.pipeline import compact_links
+
+        catalog = ParquetSnapshotCatalog(spark, args.catalog)
+        res = compact_links(spark, catalog, run_id=args.run_id)
+        print(
+            json.dumps(
+                {
+                    "mode": "compact",
+                    "snapshot_id": res.snapshot_id,
+                    "run_id": res.run_id,
+                    "n_statements": res.n_statements,
+                }
+            )
+        )
+        spark.stop()
+        return 0
+    if not args.corpus:
+        ap.error("--corpus is required unless --compact")
     corpus = read_corpus(spark, args.corpus)
     if args.compute_only:
         from tripleforge.pipeline import transform

@@ -70,6 +70,8 @@ def compact_links(
 
     cfg = cfg or BuildConfig()
     rid = run_id or ("compact-" + _uuid.uuid4().hex)
+    if catalog.latest_snapshot_id() is None:
+        return BuildResult(0, rid, 0, 0)  # empty catalog → no-op
     live = catalog.read_statements().select(
         "subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang", "graph",
         "src_repo", "src_path", "src_commit",
@@ -133,6 +135,12 @@ def build(
     run_id = cfg.run_id or uuid.uuid4().hex
     if cfg.resume:
         corpus = filter_pending(corpus, catalog)
+        if corpus.isEmpty():
+            # nothing pending → no-op, do NOT accumulate empty snapshots
+            # (a scheduled re-run at production cadence would otherwise
+            # grow the snapshot log unboundedly)
+            sid = catalog.latest_snapshot_id() or 0
+            return BuildResult(sid, run_id, 0, 0)
 
     prepared = with_format(ops.with_sha256(corpus))
     if cfg.balance_partitions:
