@@ -659,7 +659,10 @@ def q_ann_bruteforce(spark, sf):
 
 def q_ann_lsh(spark, sf):
     em = read_table(spark, sf, "embeddings")
-    return ann.cosine_topk_lsh(em, em.where(F.col("vec_id") < 5), k=5, n_bits=8)
+    # dim=64 per TESTDATA.md — passing it avoids a probe job (VERDICT r1)
+    return ann.cosine_topk_lsh(
+        em, em.where(F.col("vec_id") < 5), k=5, n_bits=8, dim=64
+    )
 
 
 def q_multimodal_meta(spark, sf):

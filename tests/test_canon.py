@@ -104,3 +104,46 @@ def test_canonicalize_dataframe(spark):
     assert ("http://ex.org/s", "2.5") in rows
     assert ("http://ex.org/s", "http://ex.org/O") in rows
     assert ("http://ex.org/s", "keep") in rows
+
+
+# --- ADVICE r1: fast-path detector must flag authority-with-empty-path ----
+EMPTY_PATH_CASES = [
+    "http://ex.org",           # lower-case, empty path → slow path must fire
+    "HTTP://ex.org",           # upper scheme → slow path (already did)
+    "http://ex.org?q=1",       # empty path + query
+    "http://ex.org#f",         # empty path + fragment
+    "http://ex.org/",          # already canonical — either path, same output
+    "urn:uuid:abc",            # no authority — not promoted
+]
+
+
+@pytest.mark.parametrize("raw", EMPTY_PATH_CASES)
+def test_fast_path_detector_pandas_matches_slow_path(raw):
+    """Equivalent IRIs must reach ONE canonical form regardless of which
+    path (vectorized fast skip vs full normalize) handles them."""
+    import pandas as pd
+
+    from tripleforge.canon import _normalize_iri_series
+
+    got = _normalize_iri_series(pd.Series([raw]))[0]
+    assert got == normalize_iri_str(raw)
+
+
+@pytest.mark.parametrize("raw", EMPTY_PATH_CASES)
+def test_fast_path_detector_arrow_matches_slow_path(raw):
+    import pyarrow as pa
+
+    from tripleforge.canon import _norm_iri_arrow
+
+    got = _norm_iri_arrow(pa.chunked_array([pa.array([raw])])).to_pylist()[0]
+    assert got == normalize_iri_str(raw)
+
+
+def test_empty_path_equivalents_converge():
+    assert normalize_iri_str("http://ex.org") == "http://ex.org/"
+    import pandas as pd
+
+    from tripleforge.canon import _normalize_iri_series
+
+    s = _normalize_iri_series(pd.Series(["http://ex.org", "HTTP://ex.org"]))
+    assert s[0] == s[1] == "http://ex.org/"

@@ -92,3 +92,18 @@ ex:s ex:knows [] .
         r.obj == "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil" for r in rows
     )
     assert any(r.obj.startswith("urn:skolem:") for r in rows)
+
+
+def test_generated_bnode_labels_cannot_collide_with_explicit(spark):
+    """ADVICE r1: an explicit _:genid1 label and an anonymous [] node in
+    the same file must skolemize to DIFFERENT IRIs (generated labels are
+    namespaced with a char no BLANK_NODE_LABEL can contain)."""
+    content = """@prefix ex: <http://ex.org/> .
+_:genid1 ex:p "explicit" .
+[ ex:p "anon" ] .
+"""
+    rows, errors = _parse(spark, content)
+    assert not errors
+    subj_by_obj = {r.obj: r.subj for r in rows}
+    assert subj_by_obj["explicit"] != subj_by_obj["anon"]
+    assert all(s.startswith("urn:skolem:") for s in subj_by_obj.values())

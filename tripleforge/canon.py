@@ -114,9 +114,14 @@ def normalize_iri_str(iri: str) -> str:
 
 
 # Fast-path detector: IRIs with no percent-escapes, no dot segments, no
-# upper-case scheme/host, no default port are already normal.
+# upper-case scheme/host, no default port, and a non-empty path after
+# the authority are already normal. The last alternative flags
+# scheme://authority with NO path (e.g. <http://ex.org>), which the
+# slow path rewrites to path "/" — without it, <http://ex.org> and
+# <HTTP://ex.org> canonicalized to different forms (ADVICE r1).
 _NEEDS_WORK = re.compile(
     r"%|/\.{1,2}(?:/|$)|^[^:/]*[A-Z][^:/]*:|^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*[A-Z:]"
+    r"|^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(?:[?#]|$)"
 )
 
 
@@ -268,6 +273,7 @@ def _canon_obj_udf(obj: pd.Series, obj_kind: pd.Series, obj_dt: pd.Series) -> pd
 # ---------------------------------------------------------------------------
 _NEEDS_WORK_RE2 = (
     "%|/\\.\\.?(/|$)|^[^:/]*[A-Z][^:/]*:|^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*[A-Z:]"
+    "|^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([?#]|$)"
 )
 _NON_ASCII_RE2 = "[^\\x00-\\x7f]"
 _CANON_INT_RE2 = "^(0|-?[1-9][0-9]*)$"

@@ -27,11 +27,15 @@ class Catalog(ABC):
         lineage: DataFrame,
         run_id: str,
         operation: str = "append",
+        replace_paths: list[str] | None = None,
     ) -> int:
         """Atomically commit statements + their lineage rows as one new
         snapshot; returns the snapshot id. Idempotent per ``run_id``:
         re-committing an already-committed run is a no-op (returns the
-        existing id) — the resume safety property (A22)."""
+        existing id) — the resume safety property (A22). For
+        ``operation="overwrite"``, ``replace_paths`` lists prior live
+        paths to CARRY into the new snapshot (partition-scoped
+        overwrite); None replaces everything."""
 
     @abstractmethod
     def read_statements(self, snapshot_id: int | None = None) -> DataFrame:

@@ -38,7 +38,11 @@ class IcebergCatalog(Catalog):
         lineage: DataFrame,
         run_id: str,
         operation: str = "append",
+        replace_paths: list[str] | None = None,
     ) -> int:
+        # replace_paths is a parquet-snapshot concept; Iceberg's
+        # overwritePartitions already replaces only the partitions the
+        # write touches, so partition-scoped DELETE is native here.
         # Idempotence: skip if this run_id already committed.
         existing = (
             self.spark.read.table(self.lineage_table)

@@ -70,6 +70,24 @@ class ParquetSnapshotCatalog(Catalog):
         return eligible[-1] if eligible else None
 
     # --- commit --------------------------------------------------------------
+    def _reserve_sid(self, parent: dict | None) -> int:
+        """Exclusive-create a reservation marker so two concurrent
+        committers (e.g. build and compact_links) can never share a
+        snapshot id — ADVICE r1: a plain ``os.rename`` of the manifest
+        silently clobbered the loser's commit. A crash after reserving
+        just burns an id (the orphan marker is skipped forever)."""
+        sid = (parent["snapshot_id"] + 1) if parent else 1
+        while True:
+            try:
+                fd = os.open(
+                    os.path.join(self._snap_dir(), f".reserve.v{sid}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+                return sid
+            except FileExistsError:
+                sid += 1
+
     def commit_snapshot(
         self,
         statements: DataFrame,
@@ -82,7 +100,7 @@ class ParquetSnapshotCatalog(Catalog):
             if m["run_id"] == run_id:
                 return m["snapshot_id"]  # idempotent re-commit
         parent = self._manifest_for(None)
-        sid = (parent["snapshot_id"] + 1) if parent else 1
+        sid = self._reserve_sid(parent)
 
         data_rel = f"data/snap={sid}"
         data_path = os.path.join(self.root, data_rel)
@@ -93,6 +111,15 @@ class ParquetSnapshotCatalog(Catalog):
             .mode("errorifexists")
             .parquet(data_path)
         )
+        # live paths are recorded at graph_bucket granularity so an
+        # overwrite can replace only the buckets a mutation touched
+        # (partition-scoped DELETE/compaction — the Iceberg twin's
+        # partition-level overwrite)
+        new_paths = sorted(
+            f"{data_rel}/{d}"
+            for d in os.listdir(data_path)
+            if d.startswith("graph_bucket=")
+        )
         lineage_rel = f"lineage/snap={sid}"
         if "snapshot_id" not in lineage.columns:
             lineage = lineage.withColumn("snapshot_id", F.lit(sid).cast("long"))
@@ -101,9 +128,9 @@ class ParquetSnapshotCatalog(Catalog):
         )
 
         if operation == "overwrite":
-            live = (replace_paths or []) + [data_rel]
+            live = (replace_paths or []) + new_paths
         else:
-            live = (parent["live_paths"] if parent else []) + [data_rel]
+            live = (parent["live_paths"] if parent else []) + new_paths
         manifest = {
             "snapshot_id": sid,
             "run_id": run_id,
@@ -116,7 +143,16 @@ class ParquetSnapshotCatalog(Catalog):
         tmp = os.path.join(self._snap_dir(), f".v{sid}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, os.path.join(self._snap_dir(), f"v{sid}.json"))
+        dst = os.path.join(self._snap_dir(), f"v{sid}.json")
+        try:
+            os.link(tmp, dst)  # fails on existing target — never clobbers
+        except FileExistsError as exc:  # pragma: no cover - reservation bug
+            raise RuntimeError(
+                f"snapshot id {sid} was published concurrently despite the "
+                "reservation protocol — manual repair required"
+            ) from exc
+        finally:
+            os.unlink(tmp)
         return sid
 
     # --- read ----------------------------------------------------------------

@@ -185,8 +185,9 @@ def _union_find_local(rows: list) -> list[tuple[str, str]]:
 
 def connected_components(
     edges: DataFrame,
-    max_iter: int = 20,
+    max_iter: int = 50,
     driver_threshold: int = 1_000_000,
+    driver_max_bytes: int = 256 * 1024 * 1024,
     checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Edges → ``(member, representative)`` with representative =
@@ -195,28 +196,36 @@ def connected_components(
 
     Hybrid execution, the same idea as AQE's runtime re-planning: if the
     normalized edge set fits comfortably on the driver
-    (≤ ``driver_threshold`` edges), a local union-find resolves it in
-    one pass — iterating Spark jobs over kilobytes is pure overhead.
-    Above the threshold it runs the DataFrame-native alternating
-    large-star/small-star algorithm (Kiveris et al., SoCC'14):
-    O(log n) rounds, each 2-3 shuffles, with the lineage truncated by
+    (≤ ``driver_threshold`` edges AND ≤ ``driver_max_bytes`` of term
+    text — IRIs vary 10-1000 bytes, so the row count alone can't bound
+    driver memory), a local union-find resolves it in one pass —
+    iterating Spark jobs over kilobytes is pure overhead. Above the
+    threshold it runs the DataFrame-native alternating large-star /
+    small-star algorithm (Kiveris et al., SoCC'14): O(log² n) rounds,
+    each 2-3 shuffles, with the lineage truncated by
     ``localCheckpoint`` every ``checkpoint_interval`` rounds so plan
-    re-optimization doesn't dominate at high round counts.
+    re-optimization doesn't dominate at high round counts. Runs to the
+    signature fixpoint; exhausting ``max_iter`` without convergence
+    raises instead of silently returning a partial mapping (ADVICE r1).
     """
     spark = edges.sparkSession
     cur = normalize_edges(edges).localCheckpoint(eager=True)
-    n_edges = cur.count()
+    stats = cur.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("u") + F.length("v")).alias("b"),
+    ).first()
+    n_edges, n_bytes = stats["n"], stats["b"] or 0
     if n_edges == 0:
         return cur.select(
             F.col("u").alias("member"), F.col("v").alias("representative")
         )
-    if n_edges <= driver_threshold:
+    if n_edges <= driver_threshold and n_bytes <= driver_max_bytes:
         mapping = _union_find_local([(r["u"], r["v"]) for r in cur.collect()])
         return spark.createDataFrame(
             mapping, "member string, representative string"
         )
 
-    prev_sig = None
+    prev_sig, converged = None, False
     for i in range(max_iter):
         cur = _small_star(_large_star(cur))
         if (i + 1) % checkpoint_interval == 0:
@@ -228,8 +237,14 @@ def connected_components(
         ).first()
         sig = (sig["n"], sig["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(rounds are O(log² n) — raise max_iter or inspect the edge set)"
+        )
     # at fixpoint every edge is (member, component-min)
     return cur.select(
         F.col("u").alias("member"), F.col("v").alias("representative")
@@ -242,8 +257,9 @@ def connected_components(
 def rewrite(
     stmts: DataFrame,
     mapping: DataFrame,
-    broadcast: bool = True,
+    broadcast: bool | None = None,
     preserve_sameas: bool = True,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Replace subj and IRI-valued obj by the component representative.
 
@@ -253,15 +269,23 @@ def rewrite(
     compactions (pipeline.compact_links) need to connect components
     spanning runs.
 
-    The mapping (linked members only) is small relative to the
-    statement table → broadcast both joins; no shuffle of ``stmts``.
+    Join strategy is size-aware (ADVICE r1: an unconditional broadcast
+    dies when linking is dense — hundreds of millions of linked members
+    exceed the broadcast limit at 100× scale): ``broadcast=None``
+    counts the mapping (cheap — it is either a driver-built local frame
+    or a checkpointed CC result) and broadcasts only below
+    ``broadcast_threshold`` rows; above it the rewrite is a plain
+    equi-join and AQE picks the physical strategy.
     """
     if preserve_sameas:
         sameas = stmts.where(F.col("pred") == OWL_SAMEAS)
         rest = stmts.where(F.col("pred") != OWL_SAMEAS)
-        return rewrite(rest, mapping, broadcast, preserve_sameas=False).unionByName(
-            sameas
-        )
+        return rewrite(
+            rest, mapping, broadcast, preserve_sameas=False,
+            broadcast_threshold=broadcast_threshold,
+        ).unionByName(sameas)
+    if broadcast is None:
+        broadcast = mapping.count() <= broadcast_threshold
     m = F.broadcast(mapping) if broadcast else mapping
     ms = m.withColumnRenamed("member", "subj").withColumnRenamed(
         "representative", "_srep"

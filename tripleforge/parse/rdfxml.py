@@ -84,8 +84,10 @@ class _Ctx:
         return skolem_iri(self.repo, self.path, local)
 
     def fresh(self) -> str:
+        # \x1e cannot appear in an rdf:nodeID NCName, so generated labels
+        # never collide with explicit node ids (ADVICE r1).
         self.genid += 1
-        return self.bnode(f"xgenid{self.genid}")
+        return self.bnode(f"xgenid\x1e{self.genid}")
 
     def emit_iri(self, s: str, p: str, o: str) -> None:
         self.triples.append((s, p, o, "iri", None, None))

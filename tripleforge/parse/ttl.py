@@ -153,8 +153,11 @@ class _Parser:
         return ("iri", self.prefixes[ns] + local)
 
     def fresh_bnode(self) -> _Term:
+        # \x1e cannot appear in a parsed BLANK_NODE_LABEL, so generated
+        # labels can never collide with an explicit _:genidN in the same
+        # file (both skolemize on (repo, path, label) — ADVICE r1).
         self.genid += 1
-        return ("bnode", f"genid{self.genid}")
+        return ("bnode", f"genid\x1e{self.genid}")
 
     # --- grammar
     def parse(self) -> None:

@@ -22,7 +22,9 @@ from tripleforge import link, lineage as lineage_mod, ops
 from tripleforge.catalog.base import Catalog
 from tripleforge.checkpoint import filter_pending
 from tripleforge.detect import with_format
+from tripleforge.io import N_GRAPH_BUCKETS
 from tripleforge.parse import parse_corpus, split_errors
+from tripleforge.schema import STATEMENT_QUAD_KEY
 
 
 @dataclass
@@ -153,7 +155,14 @@ def build(
         edges = link.candidate_edges(stmts, cfg.link_key_preds, cfg.max_block)
         mapping = link.connected_components(edges)
         stmts = link.rewrite(stmts, mapping)
-    stmts = ops.dedup(stmts)
+
+    # Set semantics in two stages (ADVICE r1-high). Stage 1 dedups
+    # WITHIN each (repo, commit) work unit, so a unit whose quads are
+    # fully shadowed by another unit still keeps rows here — every
+    # parsed unit gets a lineage row and is durably marked committed
+    # (a batch-global dedup before lineage silently un-committed
+    # shadowed units, which resume then re-appended as duplicates).
+    stmts = ops.dedup(stmts, STATEMENT_QUAD_KEY + ["src_repo", "src_commit"])
 
     lin = (
         lineage_mod.collect(stmts, errors)
@@ -165,7 +174,26 @@ def build(
     totals = lin.agg(
         F.sum("n_triples").alias("t"), F.sum("n_errors").alias("e")
     ).first()
-    sid = catalog.commit_snapshot(stmts, lin, run_id=run_id)
+
+    # Stage 2: batch-global dedup for the committed data, then an
+    # anti-join against the live store restricted to the graph buckets
+    # this batch touches (partition-pruned — bounded slice of a 100 TB
+    # store) so appends stay set-semantic ACROSS snapshots too.
+    data = ops.dedup(stmts)
+    if catalog.latest_snapshot_id() is not None:
+        from tripleforge.update import (
+            _anti_on_quad_key,
+            restrict_to_buckets,
+            touched_buckets,
+        )
+
+        n_buckets = getattr(catalog, "n_buckets", N_GRAPH_BUCKETS)
+        live = restrict_to_buckets(
+            catalog.read_statements(), touched_buckets(data, n_buckets)
+        )
+        data = _anti_on_quad_key(data, live)
+
+    sid = catalog.commit_snapshot(data, lin, run_id=run_id)
     lin.unpersist()
     raw.unpersist()
     return BuildResult(sid, run_id, int(totals["t"] or 0), int(totals["e"] or 0))

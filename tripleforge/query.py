@@ -59,7 +59,11 @@ def match(
     return df.select(*cols) if cols else df
 
 
-def bgp(statements: DataFrame, patterns: list[Pattern]) -> DataFrame:
+def bgp(
+    statements: DataFrame,
+    patterns: list[Pattern],
+    allow_cartesian: bool = False,
+) -> DataFrame:
     """Basic graph pattern: join pattern scans on shared variables.
 
     Required patterns are ordered most-selective-first (bound-term
@@ -68,6 +72,10 @@ def bgp(statements: DataFrame, patterns: list[Pattern]) -> DataFrame:
     last as left-outer, preserving unmatched rows with null bindings.
     Joins are equi-joins on the shared variable names, so Catalyst picks
     broadcast/SMJ per AQE statistics.
+
+    Patterns sharing no variable are valid SPARQL (their product), but
+    at statement-table scale an accidental cross product is a foot-gun,
+    so it requires ``allow_cartesian=True`` (VERDICT r1).
     """
     required = sorted(
         (pt for pt in patterns if not pt.optional), key=lambda pt: -pt.bound_count
@@ -80,6 +88,12 @@ def bgp(statements: DataFrame, patterns: list[Pattern]) -> DataFrame:
             result = scan
             continue
         shared = [c for c in scan.columns if c in result.columns]
+        if not shared and not allow_cartesian:
+            raise ValueError(
+                f"BGP pattern {pt} shares no variable with the patterns "
+                "joined so far — the result is a cross product; pass "
+                "allow_cartesian=True to run it anyway"
+            )
         result = result.join(scan, on=shared, how="inner") if shared else result.crossJoin(scan)
     if result is None:
         result = statements.limit(0)
