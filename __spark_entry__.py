@@ -78,6 +78,34 @@ def _link_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trig_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TriG files: per doc, two triples inside a named
+    GRAPH block plus one default-graph triple (which takes the injected
+    urn:repo:<source> context) — exercises the TriG parser's block
+    grammar AND the quad-wins-over-context precedence (A3/A19)."""
+    docs = read_table(spark, sf_dir, "documents")
+    content = F.format_string(
+        "@prefix d: <urn:doc:> .\n"
+        "GRAPH <urn:graph:%s> {\n"
+        "  <urn:doc:%d> <urn:p:type> <urn:t:Doc> .\n"
+        '  <urn:doc:%d> <urn:p:nchars> "%d"^^<' + XSD_INT + "> .\n"
+        "}\n"
+        '<urn:doc:%d> <urn:p:default> "1" .',
+        F.col("source"),
+        F.col("doc_id"),
+        F.col("doc_id"),
+        F.col("n_chars"),
+        F.col("doc_id"),
+    )
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.format_string("docs/doc_%d.trig", F.col("doc_id")).alias("path"),
+        F.md5(F.col("source")).alias("commit"),
+        F.lit("TriG").alias("lang"),
+        content.alias("content"),
+    )
+
+
 def _kg_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     stmts, _ = transform(
         _micro_corpus(spark, sf_dir), BuildConfig(link_entities=False)
@@ -135,6 +163,14 @@ def q_kg_delete_analog(spark, sf):
 
     remaining = _anti_on_quad_key(stmts, doomed)
     return remaining.groupBy("graph").agg(F.count(F.lit(1)).alias("n_triples"))
+
+
+def q_kg_trig(spark, sf):
+    """A3/A6 TriG: full build over TriG files → triples per graph.
+    Block triples land in urn:graph:<source>; default-graph triples get
+    the injected urn:repo:<source> context."""
+    stmts, _ = transform(_trig_corpus(spark, sf), BuildConfig(link_entities=False))
+    return stmts.groupBy("graph").agg(F.count(F.lit(1)).alias("n_triples"))
 
 
 def q_kg_sha256(spark, sf):
@@ -686,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linking_cc": q_kg_linking_cc,
         "kg_bgp": q_kg_bgp,
         "kg_delete_analog": q_kg_delete_analog,
+        "kg_trig": q_kg_trig,
         "kg_sha256": q_kg_sha256,
         # relational surface (SURVEY §2.B)
         "pruned_scan": q_pruned_scan,
@@ -797,6 +834,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_delete_analog": """
             SELECT 'urn:repo:' || source AS graph,
                    2 * COUNT(*) AS n_triples
+            FROM documents GROUP BY source
+        """,
+        "kg_trig": """
+            SELECT 'urn:graph:' || source AS graph,
+                   2 * COUNT(*) AS n_triples
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'urn:repo:' || source AS graph,
+                   COUNT(*) AS n_triples
             FROM documents GROUP BY source
         """,
         "kg_sha256": """

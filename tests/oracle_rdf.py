@@ -203,8 +203,10 @@ def _canon_lit(lex: str, dt: str):
 def parse_corpus_rows(rows, canonicalize: bool = True):
     """rows of (repo, path, commit, lang, content) → set of canonical
     quads (graph, subj, pred, obj, obj_kind, obj_dt, obj_lang).
-    Handles N-Triples and N-Quads; other formats are skipped (the P/R
-    corpus for the gate is generated NT/NQ)."""
+    Handles N-Triples, N-Quads, and the generated structured-line TriG
+    subset (GRAPH <g> { ... } blocks around N-Triples lines); other
+    formats are skipped (the P/R corpus for the gate is generated
+    NT/NQ/TriG)."""
     quads = set()
     for repo, path, commit, lang, content in rows:
         is_nq = (lang or "").lower().startswith("n-q") or path.endswith(".nq")
@@ -212,14 +214,24 @@ def parse_corpus_rows(rows, canonicalize: bool = True):
         # datagen's Turtle bodies are the N-Triples subset of Turtle plus
         # @prefix directives — the oracle covers them by dropping '@' lines
         is_ttl = (lang or "").lower() == "turtle" or path.endswith(".ttl")
-        if is_ttl:
+        is_trig = (lang or "").lower() == "trig" or path.endswith(".trig")
+        if is_ttl or is_trig:
             is_nt = True
         if not (is_nt or is_nq):
             continue
+        cur_graph = None  # TriG block graph, independent tracking
         for line in content.split("\n"):
             line = line.strip()
-            if not line or line.startswith("#") or (is_ttl and line.startswith("@")):
+            if not line or line.startswith("#") or ((is_ttl or is_trig) and line.startswith("@")):
                 continue
+            if is_trig:
+                m = re.match(r"^GRAPH\s+<([^>]*)>\s*\{\s*$", line, re.I)
+                if m:
+                    cur_graph = _unescape(m.group(1))
+                    continue
+                if line == "}":
+                    cur_graph = None
+                    continue
             try:
                 cur = _Cursor(line)
                 s = cur.term(repo, path)
@@ -240,10 +252,11 @@ def parse_corpus_rows(rows, canonicalize: bool = True):
                 obj = _norm_iri(o[0]) if canonicalize else o[0]
             else:
                 obj = _canon_lit(o[0], o[2]) if canonicalize else o[0]
-            graph = (
-                (_norm_iri(g[0]) if canonicalize else g[0])
-                if g is not None
-                else "urn:repo:" + repo
-            )
+            if g is not None:
+                graph = _norm_iri(g[0]) if canonicalize else g[0]
+            elif cur_graph is not None:
+                graph = _norm_iri(cur_graph) if canonicalize else cur_graph
+            else:
+                graph = "urn:repo:" + repo
             quads.add((graph, subj, pred, obj, o[1], o[2], o[3]))
     return quads

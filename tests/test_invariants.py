@@ -72,6 +72,8 @@ def test_pr_gate_vs_oracle(spark):
                    formats=("nt", "nq"), dup_rate=0.1, error_rate=0.1),
         CorpusSpec(n_repos=6, files_per_repo=4, stmts_per_file=25,
                    formats=("nt", "nq", "ttl"), dup_rate=0.1),
+        CorpusSpec(n_repos=6, files_per_repo=4, stmts_per_file=25,
+                   formats=("nt", "trig", "nq"), dup_rate=0.1),
     ]
     for spec in specs:
         rows = generate_corpus(spec)

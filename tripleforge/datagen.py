@@ -52,8 +52,14 @@ def _commit_of(repo: str, path: str) -> str:
     return hashlib.sha1(f"{repo}:{path}:rev0".encode()).hexdigest()
 
 
-_EXT = {"nt": "nt", "nq": "nq", "ttl": "ttl", "rdfxml": "rdf"}
-_LANG = {"nt": "N-Triples", "nq": "N-Quads", "ttl": "Turtle", "rdfxml": "RDF/XML"}
+_EXT = {"nt": "nt", "nq": "nq", "ttl": "ttl", "trig": "trig", "rdfxml": "rdf"}
+_LANG = {
+    "nt": "N-Triples",
+    "nq": "N-Quads",
+    "ttl": "Turtle",
+    "trig": "TriG",
+    "rdfxml": "RDF/XML",
+}
 
 
 def _subject_iri(repo: str, i: int) -> str:
@@ -91,6 +97,16 @@ def _to_nq(nt_lines: list[str], graph: str) -> str:
     return "\n".join(out) + "\n"
 
 
+def _to_trig(nt_lines: list[str], graph: str) -> str:
+    """Equivalent TriG doc: the same statements inside a GRAPH block
+    (quad context == the NQ variant's graph)."""
+    body = "\n".join("  " + ln for ln in nt_lines)
+    return (
+        "@prefix ex: <http://example.org/> .\n"
+        f"GRAPH <{graph}> {{\n{body}\n}}\n"
+    )
+
+
 def generate_corpus(spec: CorpusSpec) -> list[tuple[str, str, str, str, str]]:
     """→ list of (repo, path, commit, lang, content) rows."""
     rng = random.Random(spec.seed)
@@ -122,6 +138,8 @@ def generate_corpus(spec: CorpusSpec) -> list[tuple[str, str, str, str, str]]:
                 content = _to_ttl(lines)
             elif fmt == "nq":
                 content = _to_nq(lines, f"http://example.org/graph/{repo}")
+            elif fmt == "trig":
+                content = _to_trig(lines, f"http://example.org/graph/{repo}")
             elif fmt == "rdfxml":
                 content = _nt_to_rdfxml(lines)
             else:

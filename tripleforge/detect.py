@@ -1,6 +1,6 @@
 """Format detection (SURVEY.md §2.A3).
 
-Classify each corpus file into {nt, nq, ttl, rdfxml, skip} from the
+Classify each corpus file into {nt, nq, ttl, trig, rdfxml, skip} from the
 ``lang`` column first, then the path extension — the columnar analog of
 RDF4J ``Rio.getParserFormatForFileName`` (reference behavior: "RDF
 serialization detected from the file name/extension"). Pure built-in
@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 FORMAT_NT = "nt"
 FORMAT_NQ = "nq"
 FORMAT_TTL = "ttl"
+FORMAT_TRIG = "trig"
 FORMAT_RDFXML = "rdfxml"
 FORMAT_SKIP = "skip"
 
@@ -25,7 +26,7 @@ _LANG_MAP = {
     "nquads": FORMAT_NQ,
     "turtle": FORMAT_TTL,
     "ttl": FORMAT_TTL,
-    "trig": FORMAT_TTL,  # TriG default-graph subset parses as Turtle
+    "trig": FORMAT_TRIG,
     "rdf/xml": FORMAT_RDFXML,
     "rdfxml": FORMAT_RDFXML,
     "rdf-xml": FORMAT_RDFXML,
@@ -38,6 +39,7 @@ _EXT_MAP = {
     "nquads": FORMAT_NQ,
     "ttl": FORMAT_TTL,
     "turtle": FORMAT_TTL,
+    "trig": FORMAT_TRIG,
     "rdf": FORMAT_RDFXML,
     "rdfs": FORMAT_RDFXML,
     "owl": FORMAT_RDFXML,

@@ -20,18 +20,20 @@ from tripleforge.detect import (
     FORMAT_NT,
     FORMAT_RDFXML,
     FORMAT_SKIP,
+    FORMAT_TRIG,
     FORMAT_TTL,
 )
 from tripleforge.parse.common import empty_raw_frame
 from tripleforge.parse.ntnq import parse_nq, parse_nt
 from tripleforge.parse.rdfxml import parse_rdfxml
-from tripleforge.parse.ttl import parse_ttl
+from tripleforge.parse.ttl import parse_trig, parse_ttl
 from tripleforge.schema import PARSE_ERROR, STATEMENT_RAW
 
 _KERNELS = {
     FORMAT_NT: parse_nt,
     FORMAT_NQ: parse_nq,
     FORMAT_TTL: parse_ttl,
+    FORMAT_TRIG: parse_trig,
     FORMAT_RDFXML: parse_rdfxml,
 }
 
@@ -80,12 +82,18 @@ def _parse_batches_arrow(batches, canonicalize: bool = False):
             sub = batch.filter(pc.equal(fmt, f))
             if sub.num_rows:
                 parts.append(parse_batch_arrow(sub, quads, f))
-        pandas_mask = pc.is_in(fmt, value_set=pa.array([FORMAT_TTL, FORMAT_RDFXML]))
+        pandas_mask = pc.is_in(
+            fmt, value_set=pa.array([FORMAT_TTL, FORMAT_TRIG, FORMAT_RDFXML])
+        )
         sub = batch.filter(pandas_mask)
         if sub.num_rows:
             pdf = sub.to_pandas()
             frames = []
-            for f, kernel in ((FORMAT_TTL, parse_ttl), (FORMAT_RDFXML, parse_rdfxml)):
+            for f, kernel in (
+                (FORMAT_TTL, parse_ttl),
+                (FORMAT_TRIG, parse_trig),
+                (FORMAT_RDFXML, parse_rdfxml),
+            ):
                 grp = pdf[pdf["format"] == f]
                 if len(grp):
                     frames.append(kernel(grp))

@@ -1,6 +1,11 @@
-"""Turtle parser (SURVEY.md §2.A6) — W3C RDF 1.1 Turtle (REC 2014).
+"""Turtle + TriG parser (SURVEY.md §2.A6, A3) — W3C RDF 1.1 Turtle and
+RDF 1.1 TriG (REC 2014). TriG mode adds named-graph blocks:
+``GRAPH <g> { ... }``, label-only ``<g> { ... }`` / ``_:b { ... }`` /
+``[] { ... }``, and unlabeled ``{ ... }`` for the default graph, with
+the block's graph stamped on every contained statement (quad context
+wins over injected context downstream, same rule as N-Quads).
 
-Coverage: ``@prefix``/``@base`` + SPARQL-style ``PREFIX``/``BASE``,
+Turtle coverage: ``@prefix``/``@base`` + SPARQL-style ``PREFIX``/``BASE``,
 prefixed names (with PN_LOCAL escapes and %-encoding), relative-IRI
 resolution, ``a`` → rdf:type, ``;``/``,`` predicate-object lists,
 ``[]`` anonymous blank nodes and blank-node property lists, RDF
@@ -69,7 +74,8 @@ _TOKEN = re.compile(
  |(?P<PNAME>{_PNAME_NS}(?:{_PN_LOCAL})?)
  |(?P<KW>\b(?:a|true|false)\b)
  |(?P<SPARQL_KW>\b(?:[Pp][Rr][Ee][Ff][Ii][Xx]|[Bb][Aa][Ss][Ee])\b)
- |(?P<PUNCT>[.;,()\[\]])
+ |(?P<GRAPHKW>\b[Gg][Rr][Aa][Pp][Hh]\b)
+ |(?P<PUNCT>[.;,()\[\]{{}}])
 """,
     re.VERBOSE,
 )
@@ -109,15 +115,20 @@ _Term = tuple
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]], repo: str, path: str):
+    def __init__(
+        self, tokens: list[tuple[str, str]], repo: str, path: str, trig: bool = False
+    ):
         self.toks = tokens
         self.i = 0
         self.repo = repo
         self.path = path
+        self.trig = trig  # TriG mode: GRAPH blocks allowed (A3/A6 ext)
+        self.cur_graph: _Term | None = None  # graph context inside a block
         self.prefixes: dict[str, str] = {}
         self.base = ""
         self.genid = 0
-        self.triples: list[tuple[_Term, _Term, _Term]] = []
+        # quads: (s, p, o, g) with g=None for the default graph
+        self.triples: list[tuple[_Term, _Term, _Term, _Term | None]] = []
 
     # --- token stream helpers
     def peek(self) -> tuple[str, str] | None:
@@ -167,9 +178,90 @@ class _Parser:
                 self.directive(at_style=True)
             elif kind == "SPARQL_KW":
                 self.directive(at_style=False)
+            elif self.trig:
+                self.trig_block()
             else:
                 self.triples_stmt()
                 self.expect("PUNCT", ".")
+
+    # --- TriG (W3C RDF 1.1 TriG REC 2014) block grammar -------------------
+    def trig_block(self) -> None:
+        """block := triplesOrGraph | wrappedGraph | triples2
+                  | 'GRAPH' labelOrSubject wrappedGraph"""
+        kind, val = self.peek()
+        if kind == "GRAPHKW":
+            self.next()
+            self.wrapped_graph(self.graph_label())
+            return
+        if kind == "PUNCT" and val == "{":  # unlabeled block → default graph
+            self.wrapped_graph(None)
+            return
+        if kind == "PUNCT" and val == "[":
+            # ANON-labeled graph ('[] { ... }') vs triples2 (bnode
+            # property list subject) — one-token lookahead disambiguates
+            if (
+                self.i + 2 < len(self.toks)
+                and self.toks[self.i + 1] == ("PUNCT", "]")
+                and self.toks[self.i + 2] == ("PUNCT", "{")
+            ):
+                self.next()
+                self.next()
+                self.wrapped_graph(self.fresh_bnode())
+                return
+            self.triples_stmt()
+            self.expect("PUNCT", ".")
+            return
+        if kind == "PUNCT" and val == "(":  # collection subject
+            self.triples_stmt()
+            self.expect("PUNCT", ".")
+            return
+        # triplesOrGraph: labelOrSubject then '{' (graph) or verb (triples)
+        term = self.subject()
+        if self.peek() == ("PUNCT", "{"):
+            self.wrapped_graph(term)
+            return
+        self.predicate_object_list(term)
+        self.expect("PUNCT", ".")
+
+    def graph_label(self) -> _Term:
+        kind, val = self.next()
+        if kind == "IRI":
+            return self.iri_from_token(val)
+        if kind == "PNAME":
+            return self.pname_to_iri(val)
+        if kind == "BNODE":
+            return ("bnode", val[2:])
+        if kind == "PUNCT" and val == "[":
+            self.expect("PUNCT", "]")
+            return self.fresh_bnode()
+        raise TurtleError(f"bad graph label {val!r}")
+
+    def wrapped_graph(self, label: _Term | None) -> None:
+        """'{' triplesBlock? '}' with the final '.' optional before '}'.
+        TriG forbids nesting — entering a block while one is open (only
+        reachable via a malformed doc) raises into the error channel."""
+        if self.cur_graph is not None:
+            raise TurtleError("GRAPH blocks cannot nest")
+        self.expect("PUNCT", "{")
+        self.cur_graph = label
+        try:
+            while True:
+                nxt = self.peek()
+                if nxt is None:
+                    raise TurtleError("unterminated graph block")
+                if nxt == ("PUNCT", "}"):
+                    self.next()
+                    return
+                self.triples_stmt()
+                nxt = self.peek()
+                if nxt == ("PUNCT", "."):
+                    self.next()
+                elif nxt != ("PUNCT", "}"):
+                    raise TurtleError(
+                        f"expected '.' or '}}' in graph block, got {nxt!r}"
+                    )
+        finally:
+            self.cur_graph = None
 
     def directive(self, at_style: bool) -> None:
         kind, val = self.next()
@@ -248,7 +340,7 @@ class _Parser:
     def object_list(self, subj: _Term, pred: _Term) -> None:
         while True:
             obj = self.object_term()
-            self.triples.append((subj, pred, obj))
+            self.triples.append((subj, pred, obj, self.cur_graph))
             nxt = self.peek()
             if nxt is not None and nxt == ("PUNCT", ","):
                 self.next()
@@ -327,13 +419,14 @@ class _Parser:
             return ("iri", RDF_NIL)
         head = self.fresh_bnode()
         cur = head
+        g = self.cur_graph
         for j, item in enumerate(items):
-            self.triples.append((cur, ("iri", RDF_FIRST), item))
+            self.triples.append((cur, ("iri", RDF_FIRST), item, g))
             if j == len(items) - 1:
-                self.triples.append((cur, ("iri", RDF_REST), ("iri", RDF_NIL)))
+                self.triples.append((cur, ("iri", RDF_REST), ("iri", RDF_NIL), g))
             else:
                 nxt_node = self.fresh_bnode()
-                self.triples.append((cur, ("iri", RDF_REST), nxt_node))
+                self.triples.append((cur, ("iri", RDF_REST), nxt_node, g))
                 cur = nxt_node
         return head
 
@@ -348,27 +441,44 @@ def _term_to_cols(term: _Term, repo: str, path: str) -> tuple[str, str, str | No
     return lex, "literal", dt, lang
 
 
-def parse_ttl(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Batch kernel: pandas frame of (repo,path,commit,content) → RAW rows."""
+def _parse_ttl_like(pdf: pd.DataFrame, trig: bool, parser_name: str) -> pd.DataFrame:
+    """Batch kernel: pandas frame of (repo,path,commit,content) → RAW rows.
+    ``trig=True`` enables GRAPH blocks; a quad-carried graph wins over
+    the injected context downstream (same precedence as N-Quads,
+    ops.assign_graph)."""
     rows: list[tuple] = []
     for repo, path, commit, content in zip(
         pdf["repo"], pdf["path"], pdf["commit"], pdf["content"]
     ):
         try:
-            p = _Parser(_tokenize(content), repo, path)
+            p = _Parser(_tokenize(content), repo, path, trig=trig)
             p.parse()
         except TurtleError as exc:
             rows.append(
-                (None, None, None, None, None, None, None, repo, path, commit, "ttl", str(exc))
+                (None, None, None, None, None, None, None, repo, path, commit, parser_name, str(exc))
             )
             continue
-        for s, pr, o in p.triples:
+        for s, pr, o, g in p.triples:
             sv, _, _, _ = _term_to_cols(s, repo, path)
             pv, _, _, _ = _term_to_cols(pr, repo, path)
             ov, okind, odt, olang = _term_to_cols(o, repo, path)
+            gv = _term_to_cols(g, repo, path)[0] if g is not None else None
             rows.append(
-                (sv, pv, ov, okind, odt, olang, None, repo, path, commit, "ttl", None)
+                (sv, pv, ov, okind, odt, olang, gv, repo, path, commit, parser_name, None)
             )
     if not rows:
         return empty_raw_frame()
     return pd.DataFrame(rows, columns=RAW_COLS)
+
+
+def parse_ttl(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Turtle batch kernel (A6)."""
+    return _parse_ttl_like(pdf, trig=False, parser_name="ttl")
+
+
+def parse_trig(pdf: pd.DataFrame) -> pd.DataFrame:
+    """TriG batch kernel (A3/A6 extension) — full GRAPH-block support:
+    ``GRAPH <g> { ... }``, ``<g> { ... }``, ``_:b { ... }``,
+    ``[] { ... }`` and unlabeled ``{ ... }`` (default graph), plus all
+    Turtle productions inside and outside blocks."""
+    return _parse_ttl_like(pdf, trig=True, parser_name="trig")
