@@ -111,6 +111,29 @@ def main() -> int:
         [("TakeOrderedAndProject", r"TakeOrderedAndProject", True),
          ("no global Sort node", r"\n\(?\d*\)? ?Sort ", False)],
     )
+    # 6b. MinHash verified mode is candidate-restricted (VERDICT r1):
+    # every join touching the shingle column must also key on a doc
+    # column — the full posting self-join (bare `sh` equi-join) is gone.
+    from tripleforge.text import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    mh_df = minhash_lsh_pairs(docs, verify_threshold=0.1)
+    mh_plan = mh_df._jdf.queryExecution().optimizedPlan().toString()
+    bare_sh_join = any(
+        "Join " in line
+        and re.search(r"\(sh#\d+L? = sh#\d+L?\)", line)
+        and not re.search(r"\(doc(_[ab])?#\d+L? = doc(_[ab])?#\d+L?\)", line)
+        for line in mh_plan.split("\n")
+    )
+    ok = not bare_sh_join
+    sections.append(
+        ("minhash_verify_candidate_restricted", mh_plan,
+         [f"{'OK ' if ok else 'FAIL'} no full posting self-join (bare-shingle key)"])
+    )
+    if not ok:
+        failures.append("minhash: full posting self-join present")
+    print("minhash_verify_candidate_restricted | no bare-shingle join:", ok, flush=True)
+
     # 7. relational path is pure JVM (codegen-eligible end to end): no
     # Python nodes, hash aggregation, parquet batch scan. (AQE plans
     # print codegen ids only after execution, so assert eligibility.)

