@@ -154,6 +154,26 @@ def q_kg_bgp(spark, sf):
     )
 
 
+def q_kg_sparql_select(spark, sf):
+    """SPARQL TEXT front-end: the same BGP as kg_bgp but parsed from a
+    SPARQL SELECT string (tripleforge.sparql) — must be value-identical
+    to the programmatic path and to the DuckDB oracle."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    res = sparql.select(
+        stmts,
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?d ?s ?n WHERE { ?d p:source ?s . ?d p:nchars ?n . }
+        """,
+    )
+    return res.groupBy(F.col("s")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n").cast("long")).alias("sum_chars"),
+    )
+
+
 def q_kg_delete_analog(spark, sf):
     """DELETE DATA semantics as pure dataflow: remove all urn:p:nchars
     triples (anti-join on the quad key) → counts per graph."""
@@ -721,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_flagship": q_kg_flagship,
         "kg_linking_cc": q_kg_linking_cc,
         "kg_bgp": q_kg_bgp,
+        "kg_sparql_select": q_kg_sparql_select,
         "kg_delete_analog": q_kg_delete_analog,
         "kg_trig": q_kg_trig,
         "kg_sha256": q_kg_sha256,
@@ -826,6 +847,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source HAVING COUNT(*) > 1
         """,
         "kg_bgp": """
+            SELECT 'urn:src:' || source AS s,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "kg_sparql_select": """
             SELECT 'urn:src:' || source AS s,
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars

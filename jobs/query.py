@@ -8,8 +8,17 @@ as triple-pattern / BGP queries over the snapshot catalog.
     python jobs/query.py --catalog /path --bgp \
         '?d,urn:p:source,?s ?d,urn:p:nchars,?n' --limit 20
 
+    python jobs/query.py --catalog /path \
+        --sparql 'SELECT ?s ?o WHERE { ?s <urn:p> ?o } LIMIT 5'
+    python jobs/query.py --catalog /path --sparql-file q.rq
+    python jobs/query.py --catalog /path \
+        --update 'INSERT DATA { <urn:s> <urn:p> "x" . }'
+
 Terms: ``?name`` = variable, anything else = constant, empty = unbound
 (not projected). ``--snapshot`` pins a snapshot id (time travel).
+``--sparql``/``--sparql-file`` execute a SPARQL SELECT string (the
+reference reads its queries from files — this is that path);
+``--update`` executes INSERT DATA / DELETE DATA (optional WITH <g>).
 """
 
 from __future__ import annotations
@@ -30,11 +39,16 @@ def main() -> int:
     ap.add_argument("--catalog", required=True)
     ap.add_argument("--pattern", help="s,p,o[,g] — one triple pattern")
     ap.add_argument("--bgp", help="space-separated list of s,p,o[,g] patterns")
+    ap.add_argument("--sparql", help="SPARQL SELECT string")
+    ap.add_argument("--sparql-file", help="file containing a SPARQL SELECT")
+    ap.add_argument("--update", help="SPARQL INSERT DATA / DELETE DATA string")
     ap.add_argument("--snapshot", type=int, default=None)
     ap.add_argument("--limit", type=int, default=100)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
+    from tripleforge import sparql as sparql_mod
     from tripleforge.catalog import ParquetSnapshotCatalog
     from tripleforge.query import Pattern, bgp, match
     from tripleforge.session import get_spark
@@ -42,9 +56,19 @@ def main() -> int:
     spark = get_spark("tripleforge-query", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     catalog = ParquetSnapshotCatalog(spark, args.catalog)
+
+    if args.update:
+        sid = sparql_mod.execute_update(spark, catalog, args.update, run_id=args.run_id)
+        print({"snapshot_id": sid})
+        spark.stop()
+        return 0
+
     stmts = catalog.read_statements(snapshot_id=args.snapshot)
 
-    if args.pattern:
+    if args.sparql or args.sparql_file:
+        text = args.sparql or open(args.sparql_file).read()
+        result = sparql_mod.select(stmts, text)
+    elif args.pattern:
         parts = [(_term(x)) for x in args.pattern.split(",")]
         while len(parts) < 4:
             parts.append(None)
@@ -58,7 +82,7 @@ def main() -> int:
             pats.append(Pattern(*parts[:4]))
         result = bgp(stmts, pats)
     else:
-        ap.error("need --pattern or --bgp")
+        ap.error("need --pattern, --bgp, --sparql/--sparql-file, or --update")
         return 2
 
     result.show(args.limit, truncate=False)

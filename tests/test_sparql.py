@@ -1,0 +1,134 @@
+"""SPARQL text front-end tests (VERDICT r1 #5): SELECT-with-BGP and
+INSERT DATA / DELETE DATA strings must produce exactly what the
+programmatic query.bgp / update.* surface produces."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tripleforge import sparql
+from tripleforge.catalog import ParquetSnapshotCatalog
+from tripleforge.query import Pattern, bgp
+
+
+@pytest.fixture()
+def stmts(spark):
+    return spark.createDataFrame(
+        [
+            ("urn:d1", "urn:p:source", "urn:src:a", "iri", None, None, "urn:g"),
+            ("urn:d2", "urn:p:source", "urn:src:b", "iri", None, None, "urn:g"),
+            ("urn:d1", "urn:p:nchars", "10", "literal", "http://www.w3.org/2001/XMLSchema#integer", None, "urn:g"),
+            ("urn:d2", "urn:p:nchars", "20", "literal", "http://www.w3.org/2001/XMLSchema#integer", None, "urn:g"),
+            ("urn:d3", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "urn:T", "iri", None, None, "urn:h"),
+        ],
+        "subj string, pred string, obj string, obj_kind string, obj_dt string, obj_lang string, graph string",
+    )
+
+
+def test_select_matches_programmatic_bgp(stmts):
+    text = """
+        PREFIX p: <urn:p:>
+        SELECT ?d ?s ?n WHERE { ?d p:source ?s . ?d p:nchars ?n . }
+    """
+    got = {tuple(r) for r in sparql.select(stmts, text).collect()}
+    want = {
+        tuple(r)
+        for r in bgp(
+            stmts,
+            [Pattern(s="?d", p="urn:p:source", o="?s"), Pattern(s="?d", p="urn:p:nchars", o="?n")],
+        ).select("d", "s", "n").collect()
+    }
+    assert got == want and got
+
+
+def test_select_star_distinct_limit_and_literal_constant(stmts):
+    text = 'SELECT DISTINCT * WHERE { ?d <urn:p:nchars> "10" } LIMIT 1'
+    rows = sparql.select(stmts, text).collect()
+    assert len(rows) == 1 and rows[0].d == "urn:d1"
+
+
+def test_select_a_keyword_and_graph_pattern(stmts):
+    text = "SELECT ?x WHERE { GRAPH <urn:h> { ?x a <urn:T> } }"
+    rows = sparql.select(stmts, text).collect()
+    assert {r.x for r in rows} == {"urn:d3"}
+
+
+def test_select_rejects_garbage(stmts):
+    for bad in (
+        "ASK { ?s ?p ?o }",
+        "SELECT ?x WHERE { ?x }",
+        "SELECT ?x WHERE { ?x <urn:p> ?y } trailing",
+        "SELECT ?zzz WHERE { ?x <urn:p:source> ?y }",
+    ):
+        with pytest.raises(sparql.SparqlError):
+            sparql.select(stmts, bad).collect()
+
+
+def test_select_cartesian_guard(stmts):
+    text = "SELECT ?a ?b WHERE { ?a <urn:p:source> ?x . ?b <urn:p:nchars> ?y }"
+    with pytest.raises(ValueError, match="cross product"):
+        sparql.select(stmts, text)
+    assert sparql.select(stmts, text, allow_cartesian=True).count() == 4
+
+
+@pytest.fixture()
+def cat_root():
+    root = tempfile.mkdtemp(prefix="tfsparql_")
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_insert_and_delete_data_roundtrip(spark, cat_root):
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    sparql.execute_update(
+        spark,
+        cat,
+        """
+        PREFIX ex: <http://ex.org/>
+        INSERT DATA {
+          ex:s ex:p "plain" .
+          GRAPH ex:g { ex:s ex:p 42 . }
+        }
+        """,
+        run_id="i1",
+    )
+    rows = {(r.subj, r.obj, r.graph) for r in cat.read_statements().select("subj", "obj", "graph").collect()}
+    assert ("http://ex.org/s", "42", "http://ex.org/g") in rows
+    assert ("http://ex.org/s", "plain", None) in rows  # default graph
+    # idempotent re-insert (set semantics)
+    sparql.execute_update(
+        spark, cat,
+        'INSERT DATA { GRAPH <http://ex.org/g> { <http://ex.org/s> <http://ex.org/p> 42 . } }',
+        run_id="i2",
+    )
+    assert cat.read_statements().count() == 2
+    sparql.execute_update(
+        spark, cat,
+        'DELETE DATA { GRAPH <http://ex.org/g> { <http://ex.org/s> <http://ex.org/p> 42 . } }',
+        run_id="d1",
+    )
+    left = cat.read_statements().select("obj").collect()
+    assert {r.obj for r in left} == {"plain"}
+
+
+def test_with_graph_targets_inserts(spark, cat_root):
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    sparql.execute_update(
+        spark, cat,
+        'WITH <urn:target> INSERT DATA { <urn:s> <urn:p> "v" . }',
+        run_id="i1",
+    )
+    row = cat.read_statements().select("graph").first()
+    assert row.graph == "urn:target"
+
+
+def test_update_rejects_where_forms(spark, cat_root):
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    with pytest.raises(sparql.SparqlError):
+        sparql.execute_update(
+            spark, cat, "DELETE WHERE { ?s ?p ?o }", run_id="x"
+        )

@@ -1,0 +1,305 @@
+"""Minimal SPARQL text front-end (SURVEY.md §3.2 ext; VERDICT r1 #5).
+
+The reference executes SPARQL strings read from files (its ``sparql``
+CLI over RDF4J); this module closes that UX gap by parsing the
+high-frequency subset onto the engine's existing programmatic surface:
+
+- ``SELECT [DISTINCT] ?v… | * WHERE { triple patterns [GRAPH g {…}] }
+  [LIMIT n]``  →  :func:`tripleforge.query.bgp`
+- ``[WITH <g>] INSERT DATA { quads }`` / ``DELETE DATA { quads }``
+  (SPARQL 1.1 Update §3.1, with TriG-style GRAPH blocks inside the
+  data block)  →  :func:`tripleforge.update.insert_data` /
+  :func:`delete_data`
+
+The tokenizer extends the Turtle/TriG lexer with SPARQL variables and
+bare keywords; quad data inside ``{ }`` is parsed by the TriG parser
+itself (same term grammar, same skolemization), so the two front-ends
+can never drift apart.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tripleforge.parse.ttl import _TOKEN, _Parser, TurtleError, _term_to_cols
+from tripleforge.query import Pattern, bgp
+from tripleforge.schema import RDF_TYPE
+
+_SPARQL_TOKEN = re.compile(
+    r"(?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<STAR>\*)"
+    r"|" + _TOKEN.pattern,
+    re.VERBOSE,
+)
+
+
+class SparqlError(ValueError):
+    pass
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    tokens: list[tuple[str, str]] = []
+    pos, n = 0, len(text)
+    while pos < n:
+        m = _SPARQL_TOKEN.match(text, pos)
+        if m is None:
+            # bare keyword (SELECT, WHERE, INSERT, …) — the Turtle lexer
+            # has no colon-less word token
+            w = re.match(r"[A-Za-z_][A-Za-z0-9_]*", text[pos:])
+            if w:
+                tokens.append(("WORD", w.group()))
+                pos += w.end()
+                continue
+            raise SparqlError(f"unexpected character {text[pos]!r} at offset {pos}")
+        kind, val = m.lastgroup, m.group()
+        pos = m.end()
+        if kind in ("WS", "COMMENT"):
+            continue
+        if kind in ("PNAME", "BNODE") and val.endswith("."):
+            stripped = val.rstrip(".")
+            pos -= len(val) - len(stripped)
+            val = stripped
+        tokens.append((kind, val))
+    return tokens
+
+
+def _kw(tok: tuple[str, str] | None, word: str) -> bool:
+    return (
+        tok is not None
+        and tok[0] in ("WORD", "SPARQL_KW", "GRAPHKW", "KW")
+        and tok[1].upper() == word
+    )
+
+
+class _Cursor:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        if self.i >= len(self.toks):
+            raise SparqlError("unexpected end of query")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    # --- prologue ---------------------------------------------------------
+    def prologue(self) -> None:
+        while True:
+            t = self.peek()
+            if _kw(t, "PREFIX"):
+                self.next()
+                k, pname = self.next()
+                if k != "PNAME" or not pname.endswith(":"):
+                    raise SparqlError(f"bad PREFIX name {pname!r}")
+                k, iritok = self.next()
+                if k != "IRI":
+                    raise SparqlError("PREFIX needs an IRIREF")
+                self.prefixes[pname[:-1]] = iritok[1:-1]
+                continue
+            if _kw(t, "BASE"):
+                raise SparqlError("BASE is not supported — use absolute IRIs")
+            return
+
+    # --- pattern terms ------------------------------------------------------
+    def pattern_term(self, position: str) -> str:
+        kind, val = self.next()
+        if kind == "VAR":
+            return "?" + val[1:]
+        if kind == "IRI":
+            return val[1:-1]
+        if kind == "PNAME":
+            ns, _, local = val.partition(":")
+            if ns not in self.prefixes:
+                raise SparqlError(f"undefined prefix {ns!r}:")
+            return self.prefixes[ns] + local
+        if kind == "KW" and val == "a":
+            return RDF_TYPE
+        if kind in ("DQ", "SQ", "LONG_DQ", "LONG_SQ"):
+            lex = val[3:-3] if kind.startswith("LONG") else val[1:-1]
+            nxt = self.peek()
+            if nxt is not None and nxt[0] == "LANG":
+                self.next()
+            elif nxt is not None and nxt[0] == "DTSEP":
+                self.next()
+                self.next()  # datatype IRI/PNAME — matching is on lexical form
+            return lex
+        if kind in ("INTEGER", "DECIMAL", "DOUBLE"):
+            return val
+        raise SparqlError(f"bad {position} term {val!r}")
+
+
+def parse_select(text: str) -> tuple[list[str], list[Pattern], int | None, bool]:
+    """→ (projected vars ([] = *), patterns, limit, distinct)."""
+    c = _Cursor(_tokenize(text))
+    c.prologue()
+    if not _kw(c.peek(), "SELECT"):
+        raise SparqlError("only SELECT queries are supported here")
+    c.next()
+    distinct = False
+    if _kw(c.peek(), "DISTINCT"):
+        c.next()
+        distinct = True
+    projected: list[str] = []
+    while True:
+        t = c.peek()
+        if t is None:
+            raise SparqlError("unexpected end after SELECT")
+        if t[0] == "VAR":
+            projected.append(c.next()[1][1:])
+            continue
+        if t[0] == "STAR":
+            c.next()
+            projected = []
+            continue
+        break
+    if not _kw(c.peek(), "WHERE"):
+        raise SparqlError("expected WHERE")
+    c.next()
+    if c.next() != ("PUNCT", "{"):
+        raise SparqlError("expected '{' after WHERE")
+    patterns: list[Pattern] = []
+
+    def triples_until_close(graph_term: str | None) -> None:
+        while True:
+            t = c.peek()
+            if t is None:
+                raise SparqlError("unterminated group pattern")
+            if t == ("PUNCT", "}"):
+                c.next()
+                return
+            if t == ("PUNCT", "."):
+                c.next()
+                continue
+            if t[0] == "GRAPHKW" or _kw(t, "GRAPH"):
+                if graph_term is not None:
+                    raise SparqlError("nested GRAPH patterns are not supported")
+                c.next()
+                g = c.pattern_term("graph")
+                if c.next() != ("PUNCT", "{"):
+                    raise SparqlError("expected '{' after GRAPH label")
+                triples_until_close(g)
+                continue
+            s = c.pattern_term("subject")
+            p = c.pattern_term("predicate")
+            o = c.pattern_term("object")
+            patterns.append(Pattern(s=s, p=p, o=o, g=graph_term))
+
+    triples_until_close(None)
+    limit = None
+    if _kw(c.peek(), "LIMIT"):
+        c.next()
+        k, v = c.next()
+        if k != "INTEGER":
+            raise SparqlError("LIMIT needs an integer")
+        limit = int(v)
+    if c.peek() is not None:
+        raise SparqlError(f"trailing tokens after query: {c.peek()!r}")
+    if not patterns:
+        raise SparqlError("empty WHERE clause")
+    return projected, patterns, limit, distinct
+
+
+def select(
+    statements: DataFrame, text: str, allow_cartesian: bool = False
+) -> DataFrame:
+    """Execute a SPARQL SELECT string against a statement DataFrame."""
+    projected, patterns, limit, distinct = parse_select(text)
+    out = bgp(statements, patterns, allow_cartesian=allow_cartesian)
+    if projected:
+        missing = [v for v in projected if v not in out.columns]
+        if missing:
+            raise SparqlError(f"projected variables not bound: {missing}")
+        out = out.select(*projected)
+    if distinct:
+        out = out.dropDuplicates()
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# INSERT DATA / DELETE DATA
+# ---------------------------------------------------------------------------
+def parse_update(text: str) -> tuple[str, str | None, list[tuple]]:
+    """→ (op ∈ {insert, delete}, WITH graph or None, statement rows).
+
+    Rows are ``(subj, pred, obj, obj_kind, obj_dt, obj_lang, graph)``
+    with TriG-style GRAPH blocks honored inside the data block and
+    blank nodes skolemized deterministically on the update text hash.
+    """
+    toks = _tokenize(text)
+    c = _Cursor(toks)
+    c.prologue()
+    with_graph = None
+    if _kw(c.peek(), "WITH"):
+        c.next()
+        k, v = c.next()
+        if k != "IRI":
+            raise SparqlError("WITH needs an IRIREF")
+        with_graph = v[1:-1]
+    t = c.next()
+    if _kw(t, "INSERT"):
+        op = "insert"
+    elif _kw(t, "DELETE"):
+        op = "delete"
+    else:
+        raise SparqlError(f"expected INSERT or DELETE, got {t!r}")
+    if not _kw(c.next(), "DATA"):
+        raise SparqlError("only INSERT DATA / DELETE DATA are supported")
+    if c.next() != ("PUNCT", "{"):
+        raise SparqlError("expected '{' after DATA")
+    # find the matching close brace (quad data may contain GRAPH blocks)
+    depth, start = 1, c.i
+    while depth:
+        t = c.next()
+        if t == ("PUNCT", "{"):
+            depth += 1
+        elif t == ("PUNCT", "}"):
+            depth -= 1
+    inner = toks[start : c.i - 1]
+    if c.peek() is not None:
+        raise SparqlError(f"trailing tokens after update: {c.peek()!r}")
+    # the data block IS TriG — reuse the TriG parser (same term grammar,
+    # same deterministic skolemization keyed on the update text)
+    key = hashlib.sha256(text.encode("utf-8")).hexdigest()[:16]
+    p = _Parser(inner, "urn:sparql-update", key, trig=True)
+    p.prefixes.update(c.prefixes)
+    try:
+        p.parse()
+    except TurtleError as exc:
+        raise SparqlError(f"bad quad data: {exc}") from exc
+    rows = []
+    for s, pr, o, g in p.triples:
+        sv = _term_to_cols(s, "urn:sparql-update", key)[0]
+        pv = _term_to_cols(pr, "urn:sparql-update", key)[0]
+        ov, okind, odt, olang = _term_to_cols(o, "urn:sparql-update", key)
+        gv = _term_to_cols(g, "urn:sparql-update", key)[0] if g is not None else None
+        rows.append((sv, pv, ov, okind, odt, olang, gv))
+    if not rows:
+        raise SparqlError("empty data block")
+    return op, with_graph, rows
+
+
+def execute_update(
+    spark: SparkSession, catalog, text: str, run_id: str | None = None
+) -> int:
+    """Parse and execute one SPARQL update string against the catalog;
+    returns the committed snapshot id."""
+    from tripleforge import update as update_mod
+
+    op, with_graph, rows = parse_update(text)
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_kind string, "
+        "obj_dt string, obj_lang string, graph string",
+    )
+    fn = update_mod.insert_data if op == "insert" else update_mod.delete_data
+    return fn(catalog, df, graph=with_graph, run_id=run_id)
