@@ -156,3 +156,60 @@ def test_content_column_pruned_before_shuffle(spark):
     marker = "MapInArrow" if "MapInArrow" in plan else "MapInPandas"
     after_python = plan.split(marker)[0]
     assert "content" not in after_python
+
+
+def test_public_serializer_roundtrip(spark, tmp_path):
+    """VERDICT r1 #6: serialize → parse → set equality, through the
+    PUBLIC io.write_ntriples / to_ntriples_lines API (the reference's
+    CONSTRUCT-output analog), for both NT and NQ, with escape-heavy
+    literals."""
+    import random
+
+    from tripleforge.io import to_ntriples_lines, write_ntriples
+
+    rng = random.Random(11)
+    stmts = []
+    for i in range(150):
+        s = f"http://ex.org/s{rng.randrange(40)}"
+        p = f"http://ex.org/p{rng.randrange(8)}"
+        g = rng.choice([None, "http://ex.org/g1", "http://ex.org/g2"])
+        kind = rng.randrange(4)
+        if kind == 0:
+            stmts.append((s, p, f"http://ex.org/o{rng.randrange(40)}", "iri", None, None, g))
+        elif kind == 1:
+            lex = "".join(rng.choice('ab"\\\n\r\t\b\f é💡') for _ in range(rng.randrange(1, 10)))
+            stmts.append((s, p, lex, "literal", "http://www.w3.org/2001/XMLSchema#string", None, g))
+        elif kind == 2:
+            stmts.append((s, p, str(rng.randrange(999)), "literal",
+                          "http://www.w3.org/2001/XMLSchema#integer", None, g))
+        else:
+            stmts.append((s, p, "tagged", "literal",
+                          "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "en", g))
+    df = spark.createDataFrame(
+        stmts,
+        "subj string, pred string, obj string, obj_kind string, obj_dt string, obj_lang string, graph string",
+    )
+    out = str(tmp_path / "nq_out")
+    write_ntriples(df, out, quads=True)
+    content = "\n".join(
+        r.value for r in spark.read.text(out).collect()
+    )
+    corpus = spark.createDataFrame(
+        [("r", "f.nq", "c", "N-Quads", content)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    parsed, errs = transform(corpus, BuildConfig(link_entities=False, canonicalize=False))
+    assert errs.count() == 0
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_kind, r.obj_dt, r.obj_lang, r.graph)
+        for r in parsed.collect()
+    }
+    # parser injects urn:repo:r for default-graph lines
+    want = {
+        (s, p, o, k, dt, lg, g if g is not None else "urn:repo:r")
+        for (s, p, o, k, dt, lg, g) in set(stmts)
+    }
+    assert got == want
+    # NT variant drops the graph term entirely
+    nt_line = to_ntriples_lines(df.where(F.col("graph") == "http://ex.org/g1")).first().line
+    assert nt_line.endswith(" .") and "http://ex.org/g1" not in nt_line

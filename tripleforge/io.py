@@ -70,6 +70,82 @@ def read_aux(
     return reader.format(fmt).load(path)
 
 
+# ---------------------------------------------------------------------------
+# Statement → N-Triples / N-Quads serialization (the reference's
+# CONSTRUCT-output analog: RDF4J Rio writers; VERDICT r1 #6). Pure
+# Catalyst expressions — escaping and formatting stay JVM-side, so
+# serializing a 100 TB statement table is one codegen'd projection.
+# ---------------------------------------------------------------------------
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def _escape_nt_literal(col: F.Column) -> F.Column:
+    """N-Triples ECHAR escaping (RDF 1.1 N-Triples §2.4): backslash
+    first, then quote and the control characters."""
+    out = col
+    for raw, esc in (
+        ("\\", "\\\\"),
+        ('"', '\\"'),
+        ("\n", "\\n"),
+        ("\r", "\\r"),
+        ("\t", "\\t"),
+        ("\b", "\\b"),
+        ("\f", "\\f"),
+    ):
+        out = F.replace(out, F.lit(raw), F.lit(esc))
+    return out
+
+
+def ntriples_line(quads: bool = False) -> F.Column:
+    """One serialized N-Triples (or N-Quads) line per statement row."""
+    obj = F.when(
+        F.col("obj_kind") == "iri", F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
+    ).otherwise(
+        F.concat(
+            F.lit('"'),
+            _escape_nt_literal(F.col("obj")),
+            F.lit('"'),
+            F.when(
+                F.col("obj_lang").isNotNull(), F.concat(F.lit("@"), F.col("obj_lang"))
+            )
+            .when(
+                F.col("obj_dt").isNotNull()
+                & ~F.col("obj_dt").isin(_XSD_STRING, _RDF_LANGSTRING),
+                F.concat(F.lit("^^<"), F.col("obj_dt"), F.lit(">")),
+            )
+            .otherwise(F.lit("")),
+        )
+    )
+    parts = [
+        F.concat(F.lit("<"), F.col("subj"), F.lit(">")),
+        F.concat(F.lit("<"), F.col("pred"), F.lit(">")),
+        obj,
+    ]
+    if quads:
+        # null graph (default graph) → NULL, which concat_ws skips
+        parts.append(
+            F.when(
+                F.col("graph").isNotNull(),
+                F.concat(F.lit("<"), F.col("graph"), F.lit(">")),
+            )
+        )
+    return F.concat_ws(" ", *parts, F.lit(".")).alias("line")
+
+
+def to_ntriples_lines(df: DataFrame, quads: bool = False) -> DataFrame:
+    """Statement DataFrame → single-column (line) DataFrame."""
+    return df.select(ntriples_line(quads=quads))
+
+
+def write_ntriples(
+    df: DataFrame, path: str, quads: bool = False, mode: str = "errorifexists"
+) -> None:
+    """Serialize a statement DataFrame to N-Triples (or N-Quads with
+    ``quads=True``) text files — the public CONSTRUCT-result export."""
+    to_ntriples_lines(df, quads=quads).write.mode(mode).text(path)
+
+
 def with_graph_bucket(df: DataFrame, n_buckets: int = N_GRAPH_BUCKETS) -> DataFrame:
     """A20 — stable hash bucket of the graph IRI for partitioned writes.
 
