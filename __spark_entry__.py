@@ -174,6 +174,28 @@ def q_kg_sparql_select(spark, sf):
     )
 
 
+def q_kg_construct(spark, sf):
+    """SPARQL CONSTRUCT text query → statement-shaped output (the
+    reference's CONSTRUCT path): invert urn:p:source into docOf edges."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    out = sparql.construct(
+        stmts,
+        "CONSTRUCT { ?s <urn:p:docOf> ?d } WHERE { ?d <urn:p:source> ?s }",
+    )
+    return out.select("subj", "pred", "obj")
+
+
+def q_kg_serialize(spark, sf):
+    """N-Quads serializer (CONSTRUCT-output analog, io.ntriples_line):
+    every built statement as one spec-escaped NQ line — value-exact vs
+    DuckDB building the identical strings."""
+    from tripleforge.io import to_ntriples_lines
+
+    return to_ntriples_lines(_kg_statements(spark, sf), quads=True)
+
+
 def q_kg_delete_analog(spark, sf):
     """DELETE DATA semantics as pure dataflow: remove all urn:p:nchars
     triples (anti-join on the quad key) → counts per graph."""
@@ -742,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linking_cc": q_kg_linking_cc,
         "kg_bgp": q_kg_bgp,
         "kg_sparql_select": q_kg_sparql_select,
+        "kg_construct": q_kg_construct,
+        "kg_serialize": q_kg_serialize,
         "kg_delete_analog": q_kg_delete_analog,
         "kg_trig": q_kg_trig,
         "kg_sha256": q_kg_sha256,
@@ -857,6 +881,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source
+        """,
+        "kg_construct": """
+            SELECT 'urn:src:' || source AS subj,
+                   'urn:p:docOf' AS pred,
+                   'urn:doc:' || doc_id AS obj
+            FROM documents
+        """,
+        "kg_serialize": """
+            SELECT '<urn:doc:' || doc_id || '> <urn:p:type> <urn:t:Doc> <urn:repo:'
+                   || source || '> .' AS line FROM documents
+            UNION ALL
+            SELECT '<urn:doc:' || doc_id || '> <urn:p:source> <urn:src:' || source
+                   || '> <urn:repo:' || source || '> .' FROM documents
+            UNION ALL
+            SELECT '<urn:doc:' || doc_id || '> <urn:p:nchars> "' || n_chars
+                   || '"^^<http://www.w3.org/2001/XMLSchema#integer> <urn:repo:'
+                   || source || '> .' FROM documents
         """,
         "kg_delete_analog": """
             SELECT 'urn:repo:' || source AS graph,

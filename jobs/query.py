@@ -46,6 +46,7 @@ def main() -> int:
     ap.add_argument("--limit", type=int, default=100)
     ap.add_argument("--master", default=None)
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--out", default=None, help="write CONSTRUCT result as N-Triples")
     args = ap.parse_args()
 
     from tripleforge import sparql as sparql_mod
@@ -67,7 +68,14 @@ def main() -> int:
 
     if args.sparql or args.sparql_file:
         text = args.sparql or open(args.sparql_file).read()
-        result = sparql_mod.select(stmts, text)
+        result = sparql_mod.query(stmts, text)
+        if args.out:  # CONSTRUCT-to-file (the reference's Rio writer path)
+            from tripleforge.io import write_ntriples
+
+            write_ntriples(result, args.out)
+            print({"written": args.out})
+            spark.stop()
+            return 0
     elif args.pattern:
         parts = [(_term(x)) for x in args.pattern.split(",")]
         while len(parts) < 4:

@@ -132,3 +132,67 @@ def test_update_rejects_where_forms(spark, cat_root):
         sparql.execute_update(
             spark, cat, "DELETE WHERE { ?s ?p ?o }", run_id="x"
         )
+
+
+def test_construct_with_variable_and_constant_objects(stmts, spark):
+    text = """
+        PREFIX p: <urn:p:>
+        CONSTRUCT {
+          ?s <urn:p:docOf> ?d .
+          ?d <urn:p:flag> "y" .
+          ?d <urn:p:len> ?n .
+        }
+        WHERE { ?d p:source ?s . ?d p:nchars ?n . }
+    """
+    out = sparql.construct(stmts, text)
+    rows = {(r.subj, r.pred, r.obj, r.obj_kind, r.obj_dt, r.obj_lang) for r in out.collect()}
+    assert ("urn:src:a", "urn:p:docOf", "urn:d1", "iri", None, None) in rows
+    assert ("urn:d1", "urn:p:flag", "y", "literal",
+            "http://www.w3.org/2001/XMLSchema#string", None) in rows
+    # variable object carries the source statement's datatype through
+    assert ("urn:d1", "urn:p:len", "10", "literal",
+            "http://www.w3.org/2001/XMLSchema#integer", None) in rows
+    assert len(rows) == 6  # 2 docs × 3 template triples
+
+
+def test_construct_roundtrips_through_serializer(stmts, spark, tmp_path):
+    from tripleforge.io import write_ntriples
+    from tripleforge.pipeline import BuildConfig, transform
+
+    out = sparql.construct(
+        stmts, "CONSTRUCT { ?d <urn:p:len> ?n } WHERE { ?d <urn:p:nchars> ?n }"
+    )
+    path = str(tmp_path / "construct_out")
+    write_ntriples(out, path)
+    content = "\n".join(r.value for r in spark.read.text(path).collect())
+    corpus = spark.createDataFrame(
+        [("r", "f.nt", "c", "N-Triples", content)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    parsed, errs = transform(corpus, BuildConfig(link_entities=False, canonicalize=False))
+    assert errs.count() == 0
+    got = {(r.subj, r.obj, r.obj_dt) for r in parsed.collect()}
+    assert got == {
+        ("urn:d1", "10", "http://www.w3.org/2001/XMLSchema#integer"),
+        ("urn:d2", "20", "http://www.w3.org/2001/XMLSchema#integer"),
+    }
+
+
+def test_construct_rejects_unbound_and_bnode_templates(stmts):
+    with pytest.raises(sparql.SparqlError, match="not bound"):
+        sparql.construct(
+            stmts, "CONSTRUCT { ?zzz <urn:p> ?d } WHERE { ?d <urn:p:nchars> ?n }"
+        )
+    with pytest.raises(sparql.SparqlError, match="bnodes unsupported"):
+        sparql.construct(
+            stmts, "CONSTRUCT { _:b <urn:p> ?d } WHERE { ?d <urn:p:nchars> ?n }"
+        )
+
+
+def test_query_dispatcher(stmts):
+    assert "d" in sparql.query(stmts, "SELECT ?d WHERE { ?d <urn:p:nchars> ?n }").columns
+    assert "subj" in sparql.query(
+        stmts, "CONSTRUCT { ?d <urn:p> ?n } WHERE { ?d <urn:p:nchars> ?n }"
+    ).columns
+    with pytest.raises(sparql.SparqlError):
+        sparql.query(stmts, "DESCRIBE <urn:d1>")

@@ -44,10 +44,16 @@ def match(
     p: str | None = None,
     o: str | None = None,
     g: str | None = None,
+    carry_meta: bool = False,
 ) -> DataFrame:
     """Single triple-pattern scan. Bound terms become sargable filters
     (column == literal → Parquet predicate pushdown + graph-bucket
-    partition pruning when g is bound via the bucketed layout)."""
+    partition pruning when g is bound via the bucketed layout).
+
+    ``carry_meta=True`` additionally projects the object term's
+    kind/datatype/language as ``<var>__kind/__dt/__lang`` when the
+    object position is a variable — what CONSTRUCT needs to emit
+    well-typed statements from variable bindings."""
     df = statements
     for col, term in (("subj", s), ("pred", p), ("obj", o), ("graph", g)):
         if term is not None and not _is_var(term):
@@ -56,6 +62,11 @@ def match(
     for col, term in (("subj", s), ("pred", p), ("obj", o), ("graph", g)):
         if _is_var(term):
             cols.append(F.col(col).alias(term[1:]))
+            if carry_meta and col == "obj":
+                v = term[1:]
+                cols.append(F.col("obj_kind").alias(f"{v}__kind"))
+                cols.append(F.col("obj_dt").alias(f"{v}__dt"))
+                cols.append(F.col("obj_lang").alias(f"{v}__lang"))
     return df.select(*cols) if cols else df
 
 
@@ -63,6 +74,7 @@ def bgp(
     statements: DataFrame,
     patterns: list[Pattern],
     allow_cartesian: bool = False,
+    carry_meta: bool = False,
 ) -> DataFrame:
     """Basic graph pattern: join pattern scans on shared variables.
 
@@ -83,11 +95,16 @@ def bgp(
     optionals = [pt for pt in patterns if pt.optional]
     result: DataFrame | None = None
     for pt in required:
-        scan = match(statements, pt.s, pt.p, pt.o, pt.g)
+        scan = match(statements, pt.s, pt.p, pt.o, pt.g, carry_meta=carry_meta)
         if result is None:
             result = scan
             continue
-        shared = [c for c in scan.columns if c in result.columns]
+        # a variable bound in two object positions carries meta twice —
+        # the join equality makes the values identical, keep the left's
+        dup_meta = [c for c in scan.columns if "__" in c and c in result.columns]
+        if dup_meta:
+            scan = scan.drop(*dup_meta)
+        shared = [c for c in scan.columns if c in result.columns and "__" not in c]
         if not shared and not allow_cartesian:
             raise ValueError(
                 f"BGP pattern {pt} shares no variable with the patterns "
@@ -98,8 +115,11 @@ def bgp(
     if result is None:
         result = statements.limit(0)
     for pt in optionals:
-        scan = match(statements, pt.s, pt.p, pt.o, pt.g)
-        shared = [c for c in scan.columns if c in result.columns]
+        scan = match(statements, pt.s, pt.p, pt.o, pt.g, carry_meta=carry_meta)
+        dup_meta = [c for c in scan.columns if "__" in c and c in result.columns]
+        if dup_meta:
+            scan = scan.drop(*dup_meta)
+        shared = [c for c in scan.columns if c in result.columns and "__" not in c]
         if not shared:
             raise ValueError("OPTIONAL pattern shares no variable with the BGP")
         result = result.join(scan, on=shared, how="left")

@@ -160,6 +160,13 @@ def parse_select(text: str) -> tuple[list[str], list[Pattern], int | None, bool]
             projected = []
             continue
         break
+    patterns, limit = _parse_where(c)
+    return projected, patterns, limit, distinct
+
+
+def _parse_where(c: _Cursor) -> tuple[list[Pattern], int | None]:
+    """WHERE { triples [GRAPH g { triples }] } [LIMIT n] — shared by
+    SELECT and CONSTRUCT; consumes to end of input."""
     if not _kw(c.peek(), "WHERE"):
         raise SparqlError("expected WHERE")
     c.next()
@@ -204,7 +211,7 @@ def parse_select(text: str) -> tuple[list[str], list[Pattern], int | None, bool]
         raise SparqlError(f"trailing tokens after query: {c.peek()!r}")
     if not patterns:
         raise SparqlError("empty WHERE clause")
-    return projected, patterns, limit, distinct
+    return patterns, limit
 
 
 def select(
@@ -223,6 +230,166 @@ def select(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def query(
+    statements: DataFrame, text: str, allow_cartesian: bool = False
+) -> DataFrame:
+    """Dispatch a SPARQL query string: SELECT → bindings table,
+    CONSTRUCT → statement-shaped DataFrame."""
+    c = _Cursor(_tokenize(text))
+    c.prologue()
+    if _kw(c.peek(), "SELECT"):
+        return select(statements, text, allow_cartesian=allow_cartesian)
+    if _kw(c.peek(), "CONSTRUCT"):
+        return construct(statements, text, allow_cartesian=allow_cartesian)
+    raise SparqlError("only SELECT and CONSTRUCT query forms are supported")
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT
+# ---------------------------------------------------------------------------
+def _template_term(c: _Cursor, position: str) -> tuple:
+    """Template term WITH type info: ("var", name) | ("iri", v) |
+    ("lit", lex, dt, lang)."""
+    from tripleforge.schema import (
+        RDF_LANGSTRING,
+        XSD_BOOLEAN,
+        XSD_DECIMAL,
+        XSD_DOUBLE,
+        XSD_INTEGER,
+        XSD_STRING,
+    )
+
+    kind, val = c.next()
+    if kind == "VAR":
+        return ("var", val[1:])
+    if kind == "IRI":
+        return ("iri", val[1:-1])
+    if kind == "PNAME":
+        ns, _, local = val.partition(":")
+        if ns not in c.prefixes:
+            raise SparqlError(f"undefined prefix {ns!r}:")
+        return ("iri", c.prefixes[ns] + local)
+    if kind == "KW" and val == "a":
+        return ("iri", RDF_TYPE)
+    if kind == "KW" and val in ("true", "false"):
+        return ("lit", val, XSD_BOOLEAN, None)
+    if kind in ("DQ", "SQ", "LONG_DQ", "LONG_SQ"):
+        lex = val[3:-3] if kind.startswith("LONG") else val[1:-1]
+        nxt = c.peek()
+        if nxt is not None and nxt[0] == "LANG":
+            c.next()
+            return ("lit", lex, RDF_LANGSTRING, nxt[1][1:].lower())
+        if nxt is not None and nxt[0] == "DTSEP":
+            c.next()
+            k, v = c.next()
+            if k == "IRI":
+                dt = v[1:-1]
+            elif k == "PNAME":
+                ns, _, local = v.partition(":")
+                if ns not in c.prefixes:
+                    raise SparqlError(f"undefined prefix {ns!r}:")
+                dt = c.prefixes[ns] + local
+            else:
+                raise SparqlError(f"bad datatype {v!r}")
+            return ("lit", lex, dt, None)
+        return ("lit", lex, XSD_STRING, None)
+    if kind == "INTEGER":
+        return ("lit", val, XSD_INTEGER, None)
+    if kind == "DECIMAL":
+        return ("lit", val, XSD_DECIMAL, None)
+    if kind == "DOUBLE":
+        return ("lit", val, XSD_DOUBLE, None)
+    raise SparqlError(f"bad template {position} term {val!r} (bnodes unsupported)")
+
+
+def parse_construct(text: str) -> tuple[list[tuple], list[Pattern], int | None]:
+    """→ (template triples, WHERE patterns, limit)."""
+    c = _Cursor(_tokenize(text))
+    c.prologue()
+    if not _kw(c.peek(), "CONSTRUCT"):
+        raise SparqlError("expected CONSTRUCT")
+    c.next()
+    if c.next() != ("PUNCT", "{"):
+        raise SparqlError("expected '{' after CONSTRUCT")
+    template: list[tuple] = []
+    while True:
+        t = c.peek()
+        if t is None:
+            raise SparqlError("unterminated CONSTRUCT template")
+        if t == ("PUNCT", "}"):
+            c.next()
+            break
+        if t == ("PUNCT", "."):
+            c.next()
+            continue
+        s = _template_term(c, "subject")
+        p = _template_term(c, "predicate")
+        o = _template_term(c, "object")
+        template.append((s, p, o))
+    if not template:
+        raise SparqlError("empty CONSTRUCT template")
+    patterns, limit = _parse_where(c)
+    return template, patterns, limit
+
+
+def construct(
+    statements: DataFrame, text: str, allow_cartesian: bool = False
+) -> DataFrame:
+    """Execute a SPARQL CONSTRUCT string → statement-shaped DataFrame
+    (subj, pred, obj, obj_kind, obj_dt, obj_lang, graph). Pair with
+    :func:`tripleforge.io.write_ntriples` for serialized output — the
+    reference's CONSTRUCT-to-file path."""
+    from pyspark.sql import functions as F
+
+    template, patterns, limit = parse_construct(text)
+    sol = bgp(statements, patterns, allow_cartesian=allow_cartesian, carry_meta=True)
+    if limit is not None:
+        sol = sol.limit(limit)
+    bound = set(sol.columns)
+
+    def resolve(term: tuple, position: str):
+        if term[0] == "var":
+            if term[1] not in bound:
+                raise SparqlError(f"template variable ?{term[1]} is not bound")
+            return F.col(term[1])
+        return F.lit(term[1])
+
+    parts = []
+    for s, p, o in template:
+        cols = [
+            resolve(s, "subject").alias("subj"),
+            resolve(p, "predicate").alias("pred"),
+            resolve(o, "object").alias("obj"),
+        ]
+        if o[0] == "var":
+            v = o[1]
+            has_meta = f"{v}__kind" in bound
+            cols += [
+                (F.coalesce(F.col(f"{v}__kind"), F.lit("iri")) if has_meta else F.lit("iri")).alias("obj_kind"),
+                (F.col(f"{v}__dt") if has_meta else F.lit(None).cast("string")).alias("obj_dt"),
+                (F.col(f"{v}__lang") if has_meta else F.lit(None).cast("string")).alias("obj_lang"),
+            ]
+        elif o[0] == "iri":
+            cols += [
+                F.lit("iri").alias("obj_kind"),
+                F.lit(None).cast("string").alias("obj_dt"),
+                F.lit(None).cast("string").alias("obj_lang"),
+            ]
+        else:
+            _, _, dt, lang = o
+            cols += [
+                F.lit("literal").alias("obj_kind"),
+                F.lit(dt).alias("obj_dt"),
+                (F.lit(lang) if lang else F.lit(None).cast("string")).alias("obj_lang"),
+            ]
+        cols.append(F.lit(None).cast("string").alias("graph"))
+        parts.append(sol.select(*cols))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.dropDuplicates()  # CONSTRUCT yields a triple SET
 
 
 # ---------------------------------------------------------------------------
