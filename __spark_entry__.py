@@ -174,6 +174,22 @@ def q_kg_sparql_select(spark, sf):
     )
 
 
+def q_kg_sparql_filter(spark, sf):
+    """SPARQL FILTER: numeric comparison on a bound literal, pushed to
+    a Catalyst where-clause."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    res = sparql.select(
+        stmts,
+        "SELECT ?d ?n WHERE { ?d <urn:p:nchars> ?n . FILTER (?n > 500) }",
+    )
+    return res.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n").cast("long")).alias("sum_chars"),
+    )
+
+
 def q_kg_construct(spark, sf):
     """SPARQL CONSTRUCT text query → statement-shaped output (the
     reference's CONSTRUCT path): invert urn:p:source into docOf edges."""
@@ -764,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linking_cc": q_kg_linking_cc,
         "kg_bgp": q_kg_bgp,
         "kg_sparql_select": q_kg_sparql_select,
+        "kg_sparql_filter": q_kg_sparql_filter,
         "kg_construct": q_kg_construct,
         "kg_serialize": q_kg_serialize,
         "kg_delete_analog": q_kg_delete_analog,
@@ -881,6 +898,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source
+        """,
+        "kg_sparql_filter": """
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE n_chars > 500
         """,
         "kg_construct": """
             SELECT 'urn:src:' || source AS subj,

@@ -255,3 +255,28 @@ def test_delete_rewrites_only_touched_buckets(spark, cat_root):
             assert fh.read() == blob
     left = cat.read_statements().select("subj").collect()
     assert {r.subj for r in left} == {"http://s2"}
+
+
+def test_build_dedup_stages_share_one_exchange(spark):
+    """The unit-scoped dedup (lineage attribution) and the global dedup
+    share ONE exchange: hash-partitioning on the quad key clusters both
+    aggregates, so fixing the shadowed-unit bug must not cost a second
+    full shuffle of the statement set."""
+    from pyspark.sql import functions as SF
+
+    from tripleforge.ops import dedup
+    from tripleforge.schema import STATEMENT_QUAD_KEY
+
+    df = spark.createDataFrame(
+        [("s", "p", "o", "iri", None, None, "g", "r1", "f", "c1")],
+        "subj string, pred string, obj string, obj_kind string, obj_dt string, "
+        "obj_lang string, graph string, src_repo string, src_path string, src_commit string",
+    )
+    shaped = dedup(
+        df.repartition(*[SF.col(c) for c in STATEMENT_QUAD_KEY]),
+        STATEMENT_QUAD_KEY + ["src_repo", "src_commit"],
+    )
+    final = dedup(shaped)
+    plan = final._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}:\n{plan}"

@@ -196,3 +196,67 @@ def test_query_dispatcher(stmts):
     ).columns
     with pytest.raises(sparql.SparqlError):
         sparql.query(stmts, "DESCRIBE <urn:d1>")
+
+
+def test_filter_comparison_and_regex(stmts):
+    rows = sparql.select(
+        stmts,
+        'SELECT ?d ?n WHERE { ?d <urn:p:nchars> ?n . FILTER (?n > 15) }',
+    ).collect()
+    assert {(r.d, r.n) for r in rows} == {("urn:d2", "20")}
+    rows = sparql.select(
+        stmts,
+        'SELECT ?d WHERE { ?d <urn:p:source> ?s . FILTER regex(?s, "SRC:A", "i") }',
+    ).collect()
+    assert {r.d for r in rows} == {"urn:d1"}
+    rows = sparql.select(
+        stmts,
+        'SELECT ?d WHERE { ?d <urn:p:source> ?s . FILTER (?s != <urn:src:a>) }',
+    ).collect()
+    assert {r.d for r in rows} == {"urn:d2"}
+
+
+def test_filter_unbound_var_rejected(stmts):
+    with pytest.raises(sparql.SparqlError, match="not bound"):
+        sparql.select(
+            stmts, "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . FILTER (?zzz > 1) }"
+        )
+
+
+def test_optional_left_join(stmts, spark):
+    extra = spark.createDataFrame(
+        [("urn:d1", "urn:p:extra", "E", "literal",
+          "http://www.w3.org/2001/XMLSchema#string", None, "urn:g")],
+        stmts.schema,
+    )
+    data = stmts.unionByName(extra)
+    rows = sparql.select(
+        data,
+        """SELECT ?d ?e WHERE {
+             ?d <urn:p:nchars> ?n .
+             OPTIONAL { ?d <urn:p:extra> ?e }
+           }""",
+    ).collect()
+    got = {r.d: r.e for r in rows}
+    assert got == {"urn:d1": "E", "urn:d2": None}
+
+
+def test_ask(stmts):
+    assert sparql.query(stmts, "ASK { ?d <urn:p:nchars> ?n }").first().ask is True
+    assert (
+        sparql.query(stmts, 'ASK WHERE { ?d <urn:p:nope> ?n }').first().ask is False
+    )
+    assert (
+        sparql.query(
+            stmts, "ASK { ?d <urn:p:nchars> ?n . FILTER (?n > 999) }"
+        ).first().ask
+        is False
+    )
+
+
+def test_iri_lexing_unharmed_by_filter_ops(stmts):
+    # '<' followed by non-space must still lex as IRIREF
+    rows = sparql.select(
+        stmts, "SELECT ?n WHERE { <urn:d1> <urn:p:nchars> ?n . FILTER (?n >= 10) }"
+    ).collect()
+    assert {r.n for r in rows} == {"10"}

@@ -99,3 +99,39 @@ def test_windowed_throughput_metrics(spark, dirs):
         assert all(r.n_files == 3 for r in rows)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_streaming_shadowed_unit_lineage_and_cross_batch_set_semantics(spark, dirs):
+    """The streaming commit shares pipeline.shape_for_commit with the
+    batch build: (a) a unit whose quads are fully shadowed by another
+    unit in the same micro-batch still gets lineage (marked committed);
+    (b) a later micro-batch re-asserting live quads from a NEW unit
+    appends nothing (cross-snapshot set semantics)."""
+    src, chk, root = dirs
+    cat = ParquetSnapshotCatalog(spark, root, n_buckets=4)
+    nt = "<urn:s> <urn:p> <urn:o> ."
+    wave1 = spark.createDataFrame(
+        [
+            ("org/r1", "a.nt", "c1", "N-Triples", nt),
+            ("org/r1", "b.nt", "c2", "N-Triples", nt),  # same graph, same quad
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    ).withColumn("ingest_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    wave1.write.mode("append").parquet(src)
+    q = incremental_build(spark, src, cat, chk)
+    q.awaitTermination(120)
+    assert cat.read_statements().count() == 1
+    committed = {(r.repo, r.commit) for r in cat.committed_units().collect()}
+    assert ("org/r1", "c1") in committed and ("org/r1", "c2") in committed
+    # wave 2: a NEW unit re-asserts the same quad → nothing appended
+    wave2 = spark.createDataFrame(
+        [("org/r1", "c.nt", "c3", "N-Triples", nt)],
+        "repo string, path string, commit string, lang string, content string",
+    ).withColumn("ingest_ts", F.lit("2024-01-01 00:10:00").cast("timestamp"))
+    wave2.write.mode("append").parquet(src)
+    q = incremental_build(spark, src, cat, chk)
+    q.awaitTermination(120)
+    assert cat.read_statements().count() == 1
+    assert ("org/r1", "c3") in {
+        (r.repo, r.commit) for r in cat.committed_units().collect()
+    }

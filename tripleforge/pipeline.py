@@ -118,6 +118,44 @@ def transform(
     return stmts, errors
 
 
+def shape_for_commit(
+    stmts: DataFrame, catalog: Catalog
+) -> tuple[DataFrame, DataFrame]:
+    """→ (unit_deduped, committable_data) — the set-semantics shaping
+    shared by the batch build and the streaming foreachBatch path
+    (ADVICE r1-high; one source of truth so the two ingest paths
+    cannot drift).
+
+    ``unit_deduped`` dedups WITHIN each (repo, commit) work unit, so a
+    unit whose quads are fully shadowed by another unit still keeps
+    rows — every parsed unit gets a lineage row and is durably marked
+    committed. ``committable_data`` additionally dedups batch-globally
+    and anti-joins the live store restricted to the graph buckets this
+    batch touches (partition-pruned — a bounded slice of a 100 TB
+    store), so appends stay set-semantic across snapshots.
+
+    ONE explicit exchange serves both dedups: hash-partitioning on the
+    quad key clusters (quad+unit) and (quad) alike, so Catalyst plans
+    both HashAggregates without further shuffles (plan-audited).
+    """
+    stmts = stmts.repartition(*[F.col(c) for c in STATEMENT_QUAD_KEY])
+    unit_deduped = ops.dedup(stmts, STATEMENT_QUAD_KEY + ["src_repo", "src_commit"])
+    data = ops.dedup(unit_deduped)
+    if catalog.latest_snapshot_id() is not None:
+        from tripleforge.update import (
+            _anti_on_quad_key,
+            restrict_to_buckets,
+            touched_buckets,
+        )
+
+        n_buckets = getattr(catalog, "n_buckets", N_GRAPH_BUCKETS)
+        live = restrict_to_buckets(
+            catalog.read_statements(), touched_buckets(data, n_buckets)
+        )
+        data = _anti_on_quad_key(data, live)
+    return unit_deduped, data
+
+
 def build(
     spark: SparkSession,
     corpus: DataFrame,
@@ -156,16 +194,10 @@ def build(
         mapping = link.connected_components(edges)
         stmts = link.rewrite(stmts, mapping)
 
-    # Set semantics in two stages (ADVICE r1-high). Stage 1 dedups
-    # WITHIN each (repo, commit) work unit, so a unit whose quads are
-    # fully shadowed by another unit still keeps rows here — every
-    # parsed unit gets a lineage row and is durably marked committed
-    # (a batch-global dedup before lineage silently un-committed
-    # shadowed units, which resume then re-appended as duplicates).
-    stmts = ops.dedup(stmts, STATEMENT_QUAD_KEY + ["src_repo", "src_commit"])
+    unit_deduped, data = shape_for_commit(stmts, catalog)
 
     lin = (
-        lineage_mod.collect(stmts, errors)
+        lineage_mod.collect(unit_deduped, errors)
         .withColumn("run_id", F.lit(run_id))
         .withColumn("committed_at", F.current_timestamp())
         .persist()
@@ -174,24 +206,6 @@ def build(
     totals = lin.agg(
         F.sum("n_triples").alias("t"), F.sum("n_errors").alias("e")
     ).first()
-
-    # Stage 2: batch-global dedup for the committed data, then an
-    # anti-join against the live store restricted to the graph buckets
-    # this batch touches (partition-pruned — bounded slice of a 100 TB
-    # store) so appends stay set-semantic ACROSS snapshots too.
-    data = ops.dedup(stmts)
-    if catalog.latest_snapshot_id() is not None:
-        from tripleforge.update import (
-            _anti_on_quad_key,
-            restrict_to_buckets,
-            touched_buckets,
-        )
-
-        n_buckets = getattr(catalog, "n_buckets", N_GRAPH_BUCKETS)
-        live = restrict_to_buckets(
-            catalog.read_statements(), touched_buckets(data, n_buckets)
-        )
-        data = _anti_on_quad_key(data, live)
 
     sid = catalog.commit_snapshot(data, lin, run_id=run_id)
     lin.unpersist()

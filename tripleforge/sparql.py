@@ -4,8 +4,14 @@ The reference executes SPARQL strings read from files (its ``sparql``
 CLI over RDF4J); this module closes that UX gap by parsing the
 high-frequency subset onto the engine's existing programmatic surface:
 
-- ``SELECT [DISTINCT] ?v… | * WHERE { triple patterns [GRAPH g {…}] }
-  [LIMIT n]``  →  :func:`tripleforge.query.bgp`
+- ``SELECT [DISTINCT] ?v… | * WHERE { triple patterns [GRAPH g {…}]
+  [OPTIONAL {…}] [FILTER …] } [LIMIT n]``  →  :func:`tripleforge.query.bgp`
+  (each OPTIONAL triple left-joins independently — exact SPARQL
+  semantics for single-triple OPTIONAL groups, the common case)
+- ``CONSTRUCT { template } WHERE { … }`` → typed statement output
+- ``ASK { … }`` → one boolean row
+- FILTER subset: ``regex(?v, "pat"[, "i"])`` and ``(?v <op> constant)``
+  with ``= != < > <= >=`` (numeric constants compare numerically)
 - ``[WITH <g>] INSERT DATA { quads }`` / ``DELETE DATA { quads }``
   (SPARQL 1.1 Update §3.1, with TriG-style GRAPH blocks inside the
   data block)  →  :func:`tripleforge.update.insert_data` /
@@ -31,6 +37,9 @@ from tripleforge.schema import RDF_TYPE
 _SPARQL_TOKEN = re.compile(
     r"(?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)"
     r"|(?P<STAR>\*)"
+    # comparison ops for FILTER; '<'/'>' only where an IRIREF cannot
+    # start (followed by whitespace or ')') so <http://…> still lexes
+    r"|(?P<OP><=|>=|!=|<(?=\s)|>(?=[\s)])|=)"
     r"|" + _TOKEN.pattern,
     re.VERBOSE,
 )
@@ -136,8 +145,10 @@ class _Cursor:
         raise SparqlError(f"bad {position} term {val!r}")
 
 
-def parse_select(text: str) -> tuple[list[str], list[Pattern], int | None, bool]:
-    """→ (projected vars ([] = *), patterns, limit, distinct)."""
+def parse_select(
+    text: str,
+) -> tuple[list[str], list[Pattern], list[tuple], int | None, bool]:
+    """→ (projected vars ([] = *), patterns, filters, limit, distinct)."""
     c = _Cursor(_tokenize(text))
     c.prologue()
     if not _kw(c.peek(), "SELECT"):
@@ -160,21 +171,105 @@ def parse_select(text: str) -> tuple[list[str], list[Pattern], int | None, bool]
             projected = []
             continue
         break
-    patterns, limit = _parse_where(c)
-    return projected, patterns, limit, distinct
+    patterns, filters, limit = _parse_where(c)
+    return projected, patterns, filters, limit, distinct
 
 
-def _parse_where(c: _Cursor) -> tuple[list[Pattern], int | None]:
-    """WHERE { triples [GRAPH g { triples }] } [LIMIT n] — shared by
-    SELECT and CONSTRUCT; consumes to end of input."""
+def _parse_filter(c: _Cursor) -> tuple:
+    """FILTER forms → spec tuple:
+    ``FILTER regex(?v, "pat" [, "flags"])``    → ("regex", var, pat, flags)
+    ``FILTER (?v <op> constant)``              → ("cmp", var, op, value, numeric)
+    """
+    t = c.peek()
+    parens = t == ("PUNCT", "(")
+    if parens:
+        c.next()
+        t = c.peek()
+    if _kw(t, "REGEX"):
+        c.next()
+        if c.next() != ("PUNCT", "("):
+            raise SparqlError("expected '(' after regex")
+        k, v = c.next()
+        if k != "VAR":
+            raise SparqlError("regex() needs a variable first")
+        var = v[1:]
+        if c.next() != ("PUNCT", ","):
+            raise SparqlError("regex() needs a pattern argument")
+        k, pat = c.next()
+        if k not in ("DQ", "SQ"):
+            raise SparqlError("regex() pattern must be a string")
+        pat = pat[1:-1]
+        flags = ""
+        if c.peek() == ("PUNCT", ","):
+            c.next()
+            k, fl = c.next()
+            if k not in ("DQ", "SQ"):
+                raise SparqlError("regex() flags must be a string")
+            flags = fl[1:-1]
+        if c.next() != ("PUNCT", ")"):
+            raise SparqlError("unterminated regex()")
+        spec = ("regex", var, pat, flags)
+    else:
+        k, v = c.next()
+        if k != "VAR":
+            raise SparqlError("FILTER supports (?var <op> constant) and regex()")
+        var = v[1:]
+        k, op = c.next()
+        if k != "OP":
+            raise SparqlError(f"bad FILTER operator {op!r}")
+        k, val = c.next()
+        if k in ("INTEGER", "DECIMAL", "DOUBLE"):
+            spec = ("cmp", var, op, float(val), True)
+        elif k in ("DQ", "SQ"):
+            spec = ("cmp", var, op, val[1:-1], False)
+        elif k == "IRI":
+            spec = ("cmp", var, op, val[1:-1], False)
+        else:
+            raise SparqlError(f"bad FILTER constant {val!r}")
+    if parens and c.next() != ("PUNCT", ")"):
+        raise SparqlError("unterminated FILTER (...)")
+    return spec
+
+
+def _compile_filter(spec: tuple, bound: set[str]):
+    from pyspark.sql import functions as F
+
+    var = spec[1]
+    if var not in bound:
+        raise SparqlError(f"FILTER variable ?{var} is not bound")
+    if spec[0] == "regex":
+        _, _, pat, flags = spec
+        if "i" in flags:
+            pat = "(?i)" + pat
+        return F.col(var).rlike(pat)
+    _, _, op, val, numeric = spec
+    col = F.col(var).cast("double") if numeric else F.col(var)
+    ops = {
+        "=": col.__eq__,
+        "!=": col.__ne__,
+        "<": col.__lt__,
+        ">": col.__gt__,
+        "<=": col.__le__,
+        ">=": col.__ge__,
+    }
+    if op not in ops:
+        raise SparqlError(f"unsupported FILTER operator {op!r}")
+    return ops[op](F.lit(val))
+
+
+def _parse_where(c: _Cursor) -> tuple[list[Pattern], list[tuple], int | None]:
+    """WHERE { triples [GRAPH g { … }] [OPTIONAL { … }] [FILTER …] }
+    [LIMIT n] — shared by SELECT and CONSTRUCT; consumes to end of
+    input."""
     if not _kw(c.peek(), "WHERE"):
         raise SparqlError("expected WHERE")
     c.next()
     if c.next() != ("PUNCT", "{"):
         raise SparqlError("expected '{' after WHERE")
     patterns: list[Pattern] = []
+    filters: list[tuple] = []
 
-    def triples_until_close(graph_term: str | None) -> None:
+    def triples_until_close(graph_term: str | None, optional: bool = False) -> None:
         while True:
             t = c.peek()
             if t is None:
@@ -188,16 +283,30 @@ def _parse_where(c: _Cursor) -> tuple[list[Pattern], int | None]:
             if t[0] == "GRAPHKW" or _kw(t, "GRAPH"):
                 if graph_term is not None:
                     raise SparqlError("nested GRAPH patterns are not supported")
+                if optional:
+                    raise SparqlError("GRAPH inside OPTIONAL is not supported")
                 c.next()
                 g = c.pattern_term("graph")
                 if c.next() != ("PUNCT", "{"):
                     raise SparqlError("expected '{' after GRAPH label")
                 triples_until_close(g)
                 continue
+            if _kw(t, "OPTIONAL"):
+                if optional:
+                    raise SparqlError("nested OPTIONAL is not supported")
+                c.next()
+                if c.next() != ("PUNCT", "{"):
+                    raise SparqlError("expected '{' after OPTIONAL")
+                triples_until_close(graph_term, optional=True)
+                continue
+            if _kw(t, "FILTER"):
+                c.next()
+                filters.append(_parse_filter(c))
+                continue
             s = c.pattern_term("subject")
             p = c.pattern_term("predicate")
             o = c.pattern_term("object")
-            patterns.append(Pattern(s=s, p=p, o=o, g=graph_term))
+            patterns.append(Pattern(s=s, p=p, o=o, g=graph_term, optional=optional))
 
     triples_until_close(None)
     limit = None
@@ -211,15 +320,17 @@ def _parse_where(c: _Cursor) -> tuple[list[Pattern], int | None]:
         raise SparqlError(f"trailing tokens after query: {c.peek()!r}")
     if not patterns:
         raise SparqlError("empty WHERE clause")
-    return patterns, limit
+    return patterns, filters, limit
 
 
 def select(
     statements: DataFrame, text: str, allow_cartesian: bool = False
 ) -> DataFrame:
     """Execute a SPARQL SELECT string against a statement DataFrame."""
-    projected, patterns, limit, distinct = parse_select(text)
+    projected, patterns, filters, limit, distinct = parse_select(text)
     out = bgp(statements, patterns, allow_cartesian=allow_cartesian)
+    for spec in filters:
+        out = out.where(_compile_filter(spec, set(out.columns)))
     if projected:
         missing = [v for v in projected if v not in out.columns]
         if missing:
@@ -230,6 +341,25 @@ def select(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def ask(statements: DataFrame, text: str, allow_cartesian: bool = False) -> DataFrame:
+    """SPARQL ASK: one boolean row (column ``ask``)."""
+    from pyspark.sql import functions as F
+
+    c = _Cursor(_tokenize(text))
+    c.prologue()
+    if not _kw(c.peek(), "ASK"):
+        raise SparqlError("expected ASK")
+    c.next()
+    # ASK's group pattern is WHERE-optional in SPARQL; accept both
+    if not _kw(c.peek(), "WHERE"):
+        c.toks.insert(c.i, ("WORD", "WHERE"))
+    patterns, filters, limit = _parse_where(c)
+    sol = bgp(statements, patterns, allow_cartesian=allow_cartesian)
+    for spec in filters:
+        sol = sol.where(_compile_filter(spec, set(sol.columns)))
+    return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
 
 
 def query(
@@ -243,7 +373,9 @@ def query(
         return select(statements, text, allow_cartesian=allow_cartesian)
     if _kw(c.peek(), "CONSTRUCT"):
         return construct(statements, text, allow_cartesian=allow_cartesian)
-    raise SparqlError("only SELECT and CONSTRUCT query forms are supported")
+    if _kw(c.peek(), "ASK"):
+        return ask(statements, text, allow_cartesian=allow_cartesian)
+    raise SparqlError("only SELECT, CONSTRUCT, and ASK query forms are supported")
 
 
 # ---------------------------------------------------------------------------
@@ -304,8 +436,10 @@ def _template_term(c: _Cursor, position: str) -> tuple:
     raise SparqlError(f"bad template {position} term {val!r} (bnodes unsupported)")
 
 
-def parse_construct(text: str) -> tuple[list[tuple], list[Pattern], int | None]:
-    """→ (template triples, WHERE patterns, limit)."""
+def parse_construct(
+    text: str,
+) -> tuple[list[tuple], list[Pattern], list[tuple], int | None]:
+    """→ (template triples, WHERE patterns, filters, limit)."""
     c = _Cursor(_tokenize(text))
     c.prologue()
     if not _kw(c.peek(), "CONSTRUCT"):
@@ -330,8 +464,8 @@ def parse_construct(text: str) -> tuple[list[tuple], list[Pattern], int | None]:
         template.append((s, p, o))
     if not template:
         raise SparqlError("empty CONSTRUCT template")
-    patterns, limit = _parse_where(c)
-    return template, patterns, limit
+    patterns, filters, limit = _parse_where(c)
+    return template, patterns, filters, limit
 
 
 def construct(
@@ -343,8 +477,10 @@ def construct(
     reference's CONSTRUCT-to-file path."""
     from pyspark.sql import functions as F
 
-    template, patterns, limit = parse_construct(text)
+    template, patterns, filters, limit = parse_construct(text)
     sol = bgp(statements, patterns, allow_cartesian=allow_cartesian, carry_meta=True)
+    for spec in filters:
+        sol = sol.where(_compile_filter(spec, set(sol.columns)))
     if limit is not None:
         sol = sol.limit(limit)
     bound = set(sol.columns)
