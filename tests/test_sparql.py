@@ -260,3 +260,46 @@ def test_iri_lexing_unharmed_by_filter_ops(stmts):
         stmts, "SELECT ?n WHERE { <urn:d1> <urn:p:nchars> ?n . FILTER (?n >= 10) }"
     ).collect()
     assert {r.n for r in rows} == {"10"}
+
+
+def test_update_canonicalizes_like_the_build_path(spark, cat_root):
+    """INSERT DATA must store canonical terms (A9-A11) and DELETE DATA
+    must match canonical stored quads — parity with the build path."""
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    sparql.execute_update(
+        spark, cat,
+        'INSERT DATA { <HTTP://EX.ORG> <http://ex.org/p> "007"^^<http://www.w3.org/2001/XMLSchema#integer> . }',
+        run_id="i1",
+    )
+    row = cat.read_statements().select("subj", "obj").first()
+    assert row.subj == "http://ex.org/" and row.obj == "7"
+    # delete with differently-non-canonical spellings still matches
+    sparql.execute_update(
+        spark, cat,
+        'DELETE DATA { <http://EX.org> <http://ex.org/p> "7"^^<http://www.w3.org/2001/XMLSchema#integer> . }',
+        run_id="d1",
+    )
+    assert cat.read_statements().count() == 0
+
+
+def test_filter_pending_plain_join_path_matches_broadcast(spark, cat_root):
+    """checkpoint.filter_pending above the broadcast threshold (plain
+    shuffle anti-join) must produce the same pending set."""
+    from tripleforge.checkpoint import filter_pending
+    from tripleforge.pipeline import BuildConfig, build
+
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    corpus = spark.createDataFrame(
+        [
+            ("r1", "a.nt", "c1", "N-Triples", "<urn:s> <urn:p> <urn:o> ."),
+            ("r2", "b.nt", "c2", "N-Triples", "<urn:s2> <urn:p> <urn:o> ."),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    build(spark, corpus.where("repo = 'r1'"), cat, BuildConfig(run_id="b1", link_entities=False))
+    bcast = {r.repo for r in filter_pending(corpus, cat).select("repo").collect()}
+    plain = {
+        r.repo
+        for r in filter_pending(corpus, cat, broadcast_threshold=0).select("repo").collect()
+    }
+    assert bcast == plain == {"r2"}

@@ -604,5 +604,11 @@ def execute_update(
         "subj string, pred string, obj string, obj_kind string, "
         "obj_dt string, obj_lang string, graph string",
     )
+    # canonicalize exactly like the build path (A9-A11): without this,
+    # INSERT DATA { <HTTP://EX.ORG> … } would store a non-canonical IRI
+    # and DELETE DATA would fail to match canonical stored quads
+    from tripleforge.canon import canonicalize
+
+    df = canonicalize(df)
     fn = update_mod.insert_data if op == "insert" else update_mod.delete_data
     return fn(catalog, df, graph=with_graph, run_id=run_id)
