@@ -303,3 +303,19 @@ def test_filter_pending_plain_join_path_matches_broadcast(spark, cat_root):
         for r in filter_pending(corpus, cat, broadcast_threshold=0).select("repo").collect()
     }
     assert bcast == plain == {"r2"}
+
+
+def test_query_iri_constants_canonicalized(stmts):
+    """<HTTP://…>-style constants in query patterns must match the
+    store's canonical IRIs (RDF4J matches parsed identity, not
+    spelling). urn: terms in the fixture are already canonical; use a
+    scheme-case variant of an added http IRI."""
+    extra = stmts.sparkSession.createDataFrame(
+        [("http://ex.org/d9", "urn:p:source", "urn:src:z", "iri", None, None, "urn:g")],
+        stmts.schema,
+    )
+    data = stmts.unionByName(extra)
+    rows = sparql.select(
+        data, "SELECT ?s WHERE { <HTTP://EX.ORG/d9> <urn:p:source> ?s }"
+    ).collect()
+    assert {r.s for r in rows} == {"urn:src:z"}

@@ -119,16 +119,21 @@ class _Cursor:
 
     # --- pattern terms ------------------------------------------------------
     def pattern_term(self, position: str) -> str:
+        # IRI constants are canonicalized (A9) so a query written as
+        # <HTTP://EX.ORG> matches the store's canonical form — the
+        # RDF4J analog matches by parsed-IRI identity, not spelling
+        from tripleforge.canon import normalize_iri_str
+
         kind, val = self.next()
         if kind == "VAR":
             return "?" + val[1:]
         if kind == "IRI":
-            return val[1:-1]
+            return normalize_iri_str(val[1:-1])
         if kind == "PNAME":
             ns, _, local = val.partition(":")
             if ns not in self.prefixes:
                 raise SparqlError(f"undefined prefix {ns!r}:")
-            return self.prefixes[ns] + local
+            return normalize_iri_str(self.prefixes[ns] + local)
         if kind == "KW" and val == "a":
             return RDF_TYPE
         if kind in ("DQ", "SQ", "LONG_DQ", "LONG_SQ"):
