@@ -174,6 +174,22 @@ def q_kg_sparql_select(spark, sf):
     )
 
 
+def q_kg_sparql_agg(spark, sf):
+    """SPARQL aggregates + modifiers entirely in query text: GROUP BY
+    with COUNT, ORDER BY — compiled to one Spark hash aggregate."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    return sparql.select(
+        stmts,
+        """
+        SELECT ?s (COUNT(*) AS ?n_docs)
+        WHERE { ?d <urn:p:source> ?s }
+        GROUP BY ?s ORDER BY ?s
+        """,
+    )
+
+
 def q_kg_sparql_filter(spark, sf):
     """SPARQL FILTER: numeric comparison on a bound literal, pushed to
     a Catalyst where-clause."""
@@ -781,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp": q_kg_bgp,
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_filter": q_kg_sparql_filter,
+        "kg_sparql_agg": q_kg_sparql_agg,
         "kg_construct": q_kg_construct,
         "kg_serialize": q_kg_serialize,
         "kg_delete_analog": q_kg_delete_analog,
@@ -897,6 +914,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'urn:src:' || source AS s,
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "kg_sparql_agg": """
+            SELECT 'urn:src:' || source AS s, COUNT(*) AS n_docs
             FROM documents GROUP BY source
         """,
         "kg_sparql_filter": """

@@ -319,3 +319,50 @@ def test_query_iri_constants_canonicalized(stmts):
         data, "SELECT ?s WHERE { <HTTP://EX.ORG/d9> <urn:p:source> ?s }"
     ).collect()
     assert {r.s for r in rows} == {"urn:src:z"}
+
+
+def test_group_by_aggregates(stmts):
+    rows = sparql.select(
+        stmts,
+        """SELECT ?g (COUNT(*) AS ?n) (SUM(?v) AS ?total) (AVG(?v) AS ?mean)
+           WHERE { GRAPH ?g { ?d <urn:p:nchars> ?v } }
+           GROUP BY ?g""",
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.g, r.n, r.total, r.mean) == ("urn:g", 2, 30.0, 15.0)
+
+
+def test_global_aggregate_and_count_distinct(stmts):
+    r = sparql.select(
+        stmts,
+        "SELECT (COUNT(DISTINCT ?d) AS ?docs) (MAX(?v) AS ?mx) "
+        "WHERE { ?d <urn:p:nchars> ?v }",
+    ).first()
+    assert (r.docs, r.mx) == (2, 20.0)
+
+
+def test_order_by_offset_limit(stmts):
+    rows = sparql.select(
+        stmts,
+        "SELECT ?d ?v WHERE { ?d <urn:p:nchars> ?v } ORDER BY DESC(?v) LIMIT 1",
+    ).collect()
+    assert [(r.d, r.v) for r in rows] == [("urn:d2", "20")]
+    rows = sparql.select(
+        stmts,
+        "SELECT ?d WHERE { ?d <urn:p:nchars> ?v } ORDER BY ?d OFFSET 1",
+    ).collect()
+    assert [r.d for r in rows] == ["urn:d2"]
+
+
+def test_aggregate_projection_rules(stmts):
+    with pytest.raises(sparql.SparqlError, match="GROUP BY"):
+        sparql.select(
+            stmts,
+            "SELECT ?d (COUNT(*) AS ?n) WHERE { ?d <urn:p:nchars> ?v }",
+        )
+    with pytest.raises(sparql.SparqlError, match="DISTINCT is only"):
+        sparql.select(
+            stmts,
+            "SELECT (SUM(DISTINCT ?v) AS ?s) WHERE { ?d <urn:p:nchars> ?v }",
+        )

@@ -150,10 +150,53 @@ class _Cursor:
         raise SparqlError(f"bad {position} term {val!r}")
 
 
+_AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+
+
+def _parse_agg_projection(c: _Cursor) -> tuple:
+    """'(' AGG '(' [DISTINCT] ?v|* ')' AS ?alias ')' →
+    ("agg", fn, arg ('*' or var name), distinct, alias)."""
+    c.next()  # '('
+    t = c.next()
+    fn = t[1].upper()
+    if t[0] != "WORD" or fn not in _AGG_FNS:
+        raise SparqlError(f"unsupported aggregate {t[1]!r}")
+    if c.next() != ("PUNCT", "("):
+        raise SparqlError(f"expected '(' after {fn}")
+    distinct = False
+    if _kw(c.peek(), "DISTINCT"):
+        c.next()
+        distinct = True
+    t = c.next()
+    if t[0] == "STAR":
+        if fn != "COUNT":
+            raise SparqlError(f"{fn}(*) is not valid SPARQL")
+        arg = "*"
+    elif t[0] == "VAR":
+        arg = t[1][1:]
+    else:
+        raise SparqlError(f"bad aggregate argument {t[1]!r}")
+    if c.next() != ("PUNCT", ")"):
+        raise SparqlError(f"unterminated {fn}(...)")
+    if not _kw(c.next(), "AS"):
+        raise SparqlError("aggregate projection needs AS ?alias")
+    t = c.next()
+    if t[0] != "VAR":
+        raise SparqlError("AS needs a variable alias")
+    if c.next() != ("PUNCT", ")"):
+        raise SparqlError("unterminated aggregate projection")
+    return ("agg", fn, arg, distinct, t[1][1:])
+
+
 def parse_select(
     text: str,
-) -> tuple[list[str], list[Pattern], list[tuple], int | None, bool]:
-    """→ (projected vars ([] = *), patterns, filters, limit, distinct)."""
+) -> tuple[list[tuple], list[Pattern], list[tuple], dict, bool]:
+    """→ (projection items, patterns, filters, modifiers, distinct).
+
+    Projection items are ("var", name) or the aggregate tuple from
+    :func:`_parse_agg_projection`; [] means ``*``. Modifiers:
+    ``{"group_by": [...], "order_by": [(var, asc)], "offset", "limit"}``.
+    """
     c = _Cursor(_tokenize(text))
     c.prologue()
     if not _kw(c.peek(), "SELECT"):
@@ -163,21 +206,25 @@ def parse_select(
     if _kw(c.peek(), "DISTINCT"):
         c.next()
         distinct = True
-    projected: list[str] = []
+    projected: list[tuple] = []
     while True:
         t = c.peek()
         if t is None:
             raise SparqlError("unexpected end after SELECT")
         if t[0] == "VAR":
-            projected.append(c.next()[1][1:])
+            projected.append(("var", c.next()[1][1:]))
             continue
         if t[0] == "STAR":
             c.next()
             projected = []
             continue
+        if t == ("PUNCT", "("):
+            projected.append(_parse_agg_projection(c))
+            continue
         break
-    patterns, filters, limit = _parse_where(c)
-    return projected, patterns, filters, limit, distinct
+    patterns, filters = _parse_group_pattern(c)
+    mods = _parse_modifiers(c)
+    return projected, patterns, filters, mods, distinct
 
 
 def _parse_filter(c: _Cursor) -> tuple:
@@ -262,10 +309,10 @@ def _compile_filter(spec: tuple, bound: set[str]):
     return ops[op](F.lit(val))
 
 
-def _parse_where(c: _Cursor) -> tuple[list[Pattern], list[tuple], int | None]:
-    """WHERE { triples [GRAPH g { … }] [OPTIONAL { … }] [FILTER …] }
-    [LIMIT n] — shared by SELECT and CONSTRUCT; consumes to end of
-    input."""
+def _parse_group_pattern(c: _Cursor) -> tuple[list[Pattern], list[tuple]]:
+    """WHERE { triples [GRAPH g { … }] [OPTIONAL { … }] [FILTER …] } —
+    shared by SELECT, CONSTRUCT, and ASK; stops after the closing brace
+    (solution modifiers are parsed separately)."""
     if not _kw(c.peek(), "WHERE"):
         raise SparqlError("expected WHERE")
     c.next()
@@ -314,37 +361,150 @@ def _parse_where(c: _Cursor) -> tuple[list[Pattern], list[tuple], int | None]:
             patterns.append(Pattern(s=s, p=p, o=o, g=graph_term, optional=optional))
 
     triples_until_close(None)
-    limit = None
-    if _kw(c.peek(), "LIMIT"):
+    if not patterns:
+        raise SparqlError("empty WHERE clause")
+    return patterns, filters
+
+
+def _parse_modifiers(c: _Cursor) -> dict:
+    """Solution modifiers after the group pattern: GROUP BY ?v…,
+    ORDER BY [ASC|DESC](?v)…, OFFSET n, LIMIT n — consumes to end."""
+    mods: dict = {"group_by": [], "order_by": [], "offset": None, "limit": None}
+    if _kw(c.peek(), "GROUP"):
+        c.next()
+        if not _kw(c.next(), "BY"):
+            raise SparqlError("expected BY after GROUP")
+        while c.peek() is not None and c.peek()[0] == "VAR":
+            mods["group_by"].append(c.next()[1][1:])
+        if not mods["group_by"]:
+            raise SparqlError("GROUP BY needs at least one variable")
+    if _kw(c.peek(), "ORDER"):
+        c.next()
+        if not _kw(c.next(), "BY"):
+            raise SparqlError("expected BY after ORDER")
+        while True:
+            t = c.peek()
+            if t is None:
+                break
+            if t[0] == "VAR":
+                mods["order_by"].append((c.next()[1][1:], True))
+                continue
+            if _kw(t, "ASC") or _kw(t, "DESC"):
+                asc = t[1].upper() == "ASC"
+                c.next()
+                if c.next() != ("PUNCT", "("):
+                    raise SparqlError("expected '(' after ASC/DESC")
+                v = c.next()
+                if v[0] != "VAR":
+                    raise SparqlError("ASC/DESC needs a variable")
+                if c.next() != ("PUNCT", ")"):
+                    raise SparqlError("unterminated ASC/DESC(...)")
+                mods["order_by"].append((v[1][1:], asc))
+                continue
+            break
+        if not mods["order_by"]:
+            raise SparqlError("ORDER BY needs at least one sort key")
+    if _kw(c.peek(), "LIMIT"):  # SPARQL allows LIMIT/OFFSET in either order
         c.next()
         k, v = c.next()
         if k != "INTEGER":
             raise SparqlError("LIMIT needs an integer")
-        limit = int(v)
+        mods["limit"] = int(v)
+    if _kw(c.peek(), "OFFSET"):
+        c.next()
+        k, v = c.next()
+        if k != "INTEGER":
+            raise SparqlError("OFFSET needs an integer")
+        mods["offset"] = int(v)
+    if mods["limit"] is None and _kw(c.peek(), "LIMIT"):
+        c.next()
+        k, v = c.next()
+        if k != "INTEGER":
+            raise SparqlError("LIMIT needs an integer")
+        mods["limit"] = int(v)
     if c.peek() is not None:
         raise SparqlError(f"trailing tokens after query: {c.peek()!r}")
-    if not patterns:
-        raise SparqlError("empty WHERE clause")
-    return patterns, filters, limit
+    return mods
+
+
+def _compile_agg(item: tuple):
+    from pyspark.sql import functions as F
+
+    _, fn, arg, distinct, alias = item
+    if fn == "COUNT":
+        if arg == "*":
+            expr = F.count(F.lit(1))
+        elif distinct:
+            expr = F.count_distinct(F.col(arg))
+        else:
+            expr = F.count(F.col(arg))
+        return expr.alias(alias)
+    if distinct:
+        raise SparqlError(f"DISTINCT is only supported in COUNT, not {fn}")
+    fns = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}
+    return fns[fn](F.col(arg).cast("double")).alias(alias)
 
 
 def select(
     statements: DataFrame, text: str, allow_cartesian: bool = False
 ) -> DataFrame:
-    """Execute a SPARQL SELECT string against a statement DataFrame."""
-    projected, patterns, filters, limit, distinct = parse_select(text)
+    """Execute a SPARQL SELECT string against a statement DataFrame.
+
+    Supports projection of variables and aggregates
+    ``(COUNT/SUM/AVG/MIN/MAX(...) AS ?alias)`` with GROUP BY, plus
+    ORDER BY / OFFSET / LIMIT solution modifiers. Numeric aggregates
+    cast the bound lexical to double (SPARQL numeric semantics over
+    this engine's string-lexical object column)."""
+    projected, patterns, filters, mods, distinct = parse_select(text)
     out = bgp(statements, patterns, allow_cartesian=allow_cartesian)
     for spec in filters:
         out = out.where(_compile_filter(spec, set(out.columns)))
-    if projected:
-        missing = [v for v in projected if v not in out.columns]
-        if missing:
-            raise SparqlError(f"projected variables not bound: {missing}")
-        out = out.select(*projected)
+    bound = set(out.columns)
+    aggs = [it for it in projected if it[0] == "agg"]
+    plain = [it[1] for it in projected if it[0] == "var"]
+    missing = [v for v in plain if v not in bound] + [
+        it[2] for it in aggs if it[2] != "*" and it[2] not in bound
+    ]
+    if missing:
+        raise SparqlError(f"projected variables not bound: {missing}")
+    if aggs or mods["group_by"]:
+        group = mods["group_by"]
+        stray = [v for v in plain if v not in group]
+        if stray:
+            raise SparqlError(
+                f"non-aggregate projection {stray} must appear in GROUP BY"
+            )
+        bad_group = [v for v in group if v not in bound]
+        if bad_group:
+            raise SparqlError(f"GROUP BY variables not bound: {bad_group}")
+        agg_exprs = [_compile_agg(it) for it in aggs]
+        if not agg_exprs:
+            raise SparqlError("GROUP BY without any aggregate projection")
+        out = out.groupBy(*group).agg(*agg_exprs) if group else out.agg(*agg_exprs)
+        # project in the user's order
+        names = [it[1] if it[0] == "var" else it[4] for it in projected]
+        out = out.select(*names)
+    elif plain:
+        out = out.select(*plain)
     if distinct:
         out = out.dropDuplicates()
-    if limit is not None:
-        out = out.limit(limit)
+    if mods["order_by"]:
+        from pyspark.sql import functions as F
+
+        cols = set(out.columns)
+        bad = [v for v, _ in mods["order_by"] if v not in cols]
+        if bad:
+            raise SparqlError(f"ORDER BY variables not in projection: {bad}")
+        out = out.orderBy(
+            *[
+                F.col(v).asc() if asc_ else F.col(v).desc()
+                for v, asc_ in mods["order_by"]
+            ]
+        )
+    if mods["offset"]:
+        out = out.offset(mods["offset"])
+    if mods["limit"] is not None:
+        out = out.limit(mods["limit"])
     return out
 
 
@@ -360,7 +520,8 @@ def ask(statements: DataFrame, text: str, allow_cartesian: bool = False) -> Data
     # ASK's group pattern is WHERE-optional in SPARQL; accept both
     if not _kw(c.peek(), "WHERE"):
         c.toks.insert(c.i, ("WORD", "WHERE"))
-    patterns, filters, limit = _parse_where(c)
+    patterns, filters = _parse_group_pattern(c)
+    _parse_modifiers(c)  # tolerate (and ignore) trailing modifiers
     sol = bgp(statements, patterns, allow_cartesian=allow_cartesian)
     for spec in filters:
         sol = sol.where(_compile_filter(spec, set(sol.columns)))
@@ -469,8 +630,11 @@ def parse_construct(
         template.append((s, p, o))
     if not template:
         raise SparqlError("empty CONSTRUCT template")
-    patterns, filters, limit = _parse_where(c)
-    return template, patterns, filters, limit
+    patterns, filters = _parse_group_pattern(c)
+    mods = _parse_modifiers(c)
+    if mods["group_by"] or mods["order_by"] or mods["offset"]:
+        raise SparqlError("CONSTRUCT supports only the LIMIT modifier")
+    return template, patterns, filters, mods["limit"]
 
 
 def construct(
