@@ -126,12 +126,11 @@ def test_with_graph_targets_inserts(spark, cat_root):
     assert row.graph == "urn:target"
 
 
-def test_update_rejects_where_forms(spark, cat_root):
+def test_update_rejects_unsupported_forms(spark, cat_root):
     cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
-    with pytest.raises(sparql.SparqlError):
-        sparql.execute_update(
-            spark, cat, "DELETE WHERE { ?s ?p ?o }", run_id="x"
-        )
+    for bad in ("CLEAR ALL", "DROP GRAPH <urn:g>", "COPY <urn:a> TO <urn:b>"):
+        with pytest.raises(sparql.SparqlError):
+            sparql.execute_update(spark, cat, bad, run_id="x")
 
 
 def test_construct_with_variable_and_constant_objects(stmts, spark):
@@ -366,3 +365,112 @@ def test_aggregate_projection_rules(stmts):
             stmts,
             "SELECT (SUM(DISTINCT ?v) AS ?s) WHERE { ?d <urn:p:nchars> ?v }",
         )
+
+
+def _seed_store(spark, cat):
+    sparql.execute_update(
+        spark, cat,
+        """
+        INSERT DATA {
+          GRAPH <urn:g1> {
+            <urn:a> <urn:p:age> 30 .
+            <urn:a> <urn:p:name> "alice" .
+            <urn:b> <urn:p:age> 40 .
+          }
+          GRAPH <urn:g2> { <urn:a> <urn:p:age> 30 . }
+        }
+        """,
+        run_id="seed",
+    )
+
+
+def test_delete_where(spark, cat_root):
+    """DELETE WHERE: pattern doubles as template; matches delete from
+    their ACTUAL graphs (wildcard graph) with typed objects."""
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    _seed_store(spark, cat)
+    sparql.execute_update(
+        spark, cat, "DELETE WHERE { <urn:a> <urn:p:age> ?v }", run_id="d1"
+    )
+    left = {(r.subj, r.pred, r.graph) for r in cat.read_statements()
+            .select("subj", "pred", "graph").collect()}
+    # urn:a age deleted from BOTH graphs; name + urn:b age survive
+    assert left == {("urn:a", "urn:p:name", "urn:g1"), ("urn:b", "urn:p:age", "urn:g1")}
+
+
+def test_delete_where_constant_object_and_with(spark, cat_root):
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    _seed_store(spark, cat)
+    # WITH restricts matching to one graph; constant object must match
+    # the canonical stored form ("30", xsd:integer)
+    sparql.execute_update(
+        spark, cat, "WITH <urn:g2> DELETE WHERE { ?s <urn:p:age> 30 }", run_id="d1"
+    )
+    graphs = {r.graph for r in cat.read_statements().select("graph").collect()}
+    assert graphs == {"urn:g1"}  # g2's only statement gone, g1 intact
+    assert cat.read_statements().count() == 3
+
+
+def test_modify_delete_insert_where(spark, cat_root):
+    """Atomic DELETE {t} INSERT {t} WHERE {p}: rename a predicate in
+    one snapshot, preserving object typing through the template vars."""
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    _seed_store(spark, cat)
+    before = cat.latest_snapshot_id()
+    sparql.execute_update(
+        spark, cat,
+        """
+        DELETE { GRAPH <urn:g1> { ?s <urn:p:age> ?v } }
+        INSERT { GRAPH <urn:g1> { ?s <urn:p:years> ?v } }
+        WHERE { GRAPH <urn:g1> { ?s <urn:p:age> ?v } }
+        """,
+        run_id="m1",
+    )
+    assert cat.latest_snapshot_id() == before + 1  # ONE snapshot
+    rows = {
+        (r.subj, r.pred, r.obj, r.obj_dt, r.graph)
+        for r in cat.read_statements()
+        .select("subj", "pred", "obj", "obj_dt", "graph")
+        .collect()
+    }
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    assert ("urn:a", "urn:p:years", "30", xsd_int, "urn:g1") in rows
+    assert ("urn:b", "urn:p:years", "40", xsd_int, "urn:g1") in rows
+    assert not any(p == "urn:p:age" and g == "urn:g1" for _, p, _, _, g in rows)
+    assert ("urn:a", "urn:p:age", "30", xsd_int, "urn:g2") in rows  # untouched
+
+
+def test_insert_where(spark, cat_root):
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    _seed_store(spark, cat)
+    sparql.execute_update(
+        spark, cat,
+        """
+        INSERT { GRAPH <urn:derived> { ?s <urn:p:adult> true } }
+        WHERE { GRAPH <urn:g1> { ?s <urn:p:age> ?v . FILTER (?v >= 30) } }
+        """,
+        run_id="i2",
+    )
+    derived = {
+        (r.subj, r.obj, r.obj_dt)
+        for r in cat.read_statements()
+        .where("graph = 'urn:derived'")
+        .select("subj", "obj", "obj_dt")
+        .collect()
+    }
+    assert derived == {
+        ("urn:a", "true", "http://www.w3.org/2001/XMLSchema#boolean"),
+        ("urn:b", "true", "http://www.w3.org/2001/XMLSchema#boolean"),
+    }
+
+
+def test_load(spark, cat_root, tmp_path):
+    """LOAD <file> [INTO GRAPH <g>] — the reference loader's core op."""
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    f = tmp_path / "data.nt"
+    f.write_text("<urn:s> <urn:p> <urn:o> .\n<urn:s2> <urn:p> \"x\" .\n")
+    sparql.execute_update(
+        spark, cat, f"LOAD <file://{f}> INTO GRAPH <urn:loaded>", run_id="l1"
+    )
+    rows = {(r.subj, r.graph) for r in cat.read_statements().select("subj", "graph").collect()}
+    assert rows == {("urn:s", "urn:loaded"), ("urn:s2", "urn:loaded")}

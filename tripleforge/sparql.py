@@ -12,10 +12,12 @@ high-frequency subset onto the engine's existing programmatic surface:
 - ``ASK { … }`` → one boolean row
 - FILTER subset: ``regex(?v, "pat"[, "i"])`` and ``(?v <op> constant)``
   with ``= != < > <= >=`` (numeric constants compare numerically)
-- ``[WITH <g>] INSERT DATA { quads }`` / ``DELETE DATA { quads }``
-  (SPARQL 1.1 Update §3.1, with TriG-style GRAPH blocks inside the
-  data block)  →  :func:`tripleforge.update.insert_data` /
-  :func:`delete_data`
+- SPARQL 1.1 Update: ``[WITH <g>] INSERT DATA / DELETE DATA { quads }``
+  (TriG-parsed quad blocks), ``DELETE WHERE { patterns }``,
+  the Modify form ``[DELETE {tmpl}] [INSERT {tmpl}] WHERE { patterns }``
+  (one atomic snapshot, deletes-then-inserts against the pre-update
+  store), and ``LOAD <uri> [INTO GRAPH <g>]`` (the reference loader's
+  core operation) → :mod:`tripleforge.update` + the build pipeline
 
 The tokenizer extends the Turtle/TriG lexer with SPARQL variables and
 bare keywords; quad data inside ``{ }`` is parsed by the TriG parser
@@ -627,7 +629,7 @@ def parse_construct(
         s = _template_term(c, "subject")
         p = _template_term(c, "predicate")
         o = _template_term(c, "object")
-        template.append((s, p, o))
+        template.append((s, p, o, None))
     if not template:
         raise SparqlError("empty CONSTRUCT template")
     patterns, filters = _parse_group_pattern(c)
@@ -652,6 +654,18 @@ def construct(
         sol = sol.where(_compile_filter(spec, set(sol.columns)))
     if limit is not None:
         sol = sol.limit(limit)
+    return _instantiate(sol, template, default_graph=None)
+
+
+def _instantiate(
+    sol: DataFrame, template: list[tuple], default_graph: str | None
+) -> DataFrame:
+    """Instantiate a (s, p, o, g) template against solution rows →
+    statement-shaped DataFrame. Variable objects carry their
+    kind/datatype/language from the matched statements (carry_meta);
+    a None graph term falls back to ``default_graph`` (WITH <g>)."""
+    from pyspark.sql import functions as F
+
     bound = set(sol.columns)
 
     def resolve(term: tuple, position: str):
@@ -662,7 +676,7 @@ def construct(
         return F.lit(term[1])
 
     parts = []
-    for s, p, o in template:
+    for s, p, o, g in template:
         cols = [
             resolve(s, "subject").alias("subj"),
             resolve(p, "predicate").alias("pred"),
@@ -689,12 +703,15 @@ def construct(
                 F.lit(dt).alias("obj_dt"),
                 (F.lit(lang) if lang else F.lit(None).cast("string")).alias("obj_lang"),
             ]
-        cols.append(F.lit(None).cast("string").alias("graph"))
+        if g is not None:
+            cols.append(resolve(g, "graph").alias("graph"))
+        else:
+            cols.append(F.lit(default_graph).cast("string").alias("graph"))
         parts.append(sol.select(*cols))
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionByName(p_)
-    return out.dropDuplicates()  # CONSTRUCT yields a triple SET
+    return out.dropDuplicates()  # templates yield statement SETS
 
 
 # ---------------------------------------------------------------------------
@@ -760,24 +777,224 @@ def parse_update(text: str) -> tuple[str, str | None, list[tuple]]:
     return op, with_graph, rows
 
 
+def _graph_term(c: _Cursor) -> tuple:
+    k, v = c.next()
+    if k == "VAR":
+        return ("var", v[1:])
+    if k == "IRI":
+        return ("iri", v[1:-1])
+    if k == "PNAME":
+        ns, _, local = v.partition(":")
+        if ns not in c.prefixes:
+            raise SparqlError(f"undefined prefix {ns!r}:")
+        return ("iri", c.prefixes[ns] + local)
+    raise SparqlError(f"bad graph term {v!r}")
+
+
+def _parse_template_block(c: _Cursor) -> list[tuple]:
+    """'{' (triples | GRAPH g '{' triples '}')* '}' → template quads
+    (s, p, o, g_term|None) — the DELETE/INSERT clause templates of the
+    SPARQL 1.1 Modify form."""
+    if c.next() != ("PUNCT", "{"):
+        raise SparqlError("expected '{' to open a template")
+    out: list[tuple] = []
+
+    def triples(g: tuple | None) -> None:
+        while True:
+            t = c.peek()
+            if t is None:
+                raise SparqlError("unterminated template")
+            if t == ("PUNCT", "}"):
+                c.next()
+                return
+            if t == ("PUNCT", "."):
+                c.next()
+                continue
+            if t[0] == "GRAPHKW" or _kw(t, "GRAPH"):
+                if g is not None:
+                    raise SparqlError("nested GRAPH in template")
+                c.next()
+                gt = _graph_term(c)
+                if c.next() != ("PUNCT", "{"):
+                    raise SparqlError("expected '{' after GRAPH label")
+                triples(gt)
+                continue
+            s = _template_term(c, "subject")
+            p = _template_term(c, "predicate")
+            o = _template_term(c, "object")
+            out.append((s, p, o, g))
+
+    triples(None)
+    if not out:
+        raise SparqlError("empty template")
+    return out
+
+
+def _delete_where_compile(
+    patterns: list[Pattern], with_graph: str | None
+) -> tuple[list[Pattern], list[tuple], list[tuple]]:
+    """DELETE WHERE: the pattern block doubles as the delete template.
+    Constant objects are rebound through synthetic variables (equality
+    filters) so the deleted statements carry their true
+    kind/datatype/language; unset graphs bind a synthetic graph
+    variable so the matched statement's actual graph is deleted."""
+    new_patterns: list[Pattern] = []
+    template: list[tuple] = []
+    extra_filters: list[tuple] = []
+    for i, pt in enumerate(patterns):
+        if pt.optional:
+            raise SparqlError("OPTIONAL is not allowed in DELETE WHERE")
+        s_t = ("var", pt.s[1:]) if _is_tvar(pt.s) else ("iri", pt.s)
+        p_t = ("var", pt.p[1:]) if _is_tvar(pt.p) else ("iri", pt.p)
+        if _is_tvar(pt.o):
+            o_pat, o_t = pt.o, ("var", pt.o[1:])
+        else:
+            o_pat = f"?__o{i}"
+            o_t = ("var", f"__o{i}")
+            extra_filters.append(("cmp", f"__o{i}", "=", pt.o, False))
+        if pt.g is None:
+            if with_graph is None:
+                g_pat, g_t = f"?__g{i}", ("var", f"__g{i}")
+            else:
+                g_pat, g_t = with_graph, ("iri", with_graph)
+        elif _is_tvar(pt.g):
+            g_pat, g_t = pt.g, ("var", pt.g[1:])
+        else:
+            g_pat, g_t = pt.g, ("iri", pt.g)
+        new_patterns.append(Pattern(s=pt.s, p=pt.p, o=o_pat, g=g_pat))
+        template.append((s_t, p_t, o_t, g_t))
+    return new_patterns, template, extra_filters
+
+
+def _is_tvar(term: str | None) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
 def execute_update(
     spark: SparkSession, catalog, text: str, run_id: str | None = None
 ) -> int:
-    """Parse and execute one SPARQL update string against the catalog;
-    returns the committed snapshot id."""
-    from tripleforge import update as update_mod
+    """Parse and execute one SPARQL 1.1 update string against the
+    catalog; returns the committed snapshot id. Forms:
 
-    op, with_graph, rows = parse_update(text)
-    df = spark.createDataFrame(
-        rows,
-        "subj string, pred string, obj string, obj_kind string, "
-        "obj_dt string, obj_lang string, graph string",
-    )
-    # canonicalize exactly like the build path (A9-A11): without this,
-    # INSERT DATA { <HTTP://EX.ORG> … } would store a non-canonical IRI
-    # and DELETE DATA would fail to match canonical stored quads
+    - ``[WITH <g>] INSERT DATA { quads }`` / ``DELETE DATA { quads }``
+    - ``[WITH <g>] DELETE WHERE { patterns }``
+    - ``[WITH <g>] [DELETE {tmpl}] [INSERT {tmpl}] WHERE { patterns }``
+      (one atomic snapshot; deletes then inserts, both against the
+      pre-update store — SPARQL 1.1 §3.1.3)
+    - ``LOAD <file-uri-or-path> [INTO GRAPH <g>]`` — the reference
+      loader's core operation: parse RDF files from storage and commit
+    """
+    from tripleforge import update as update_mod
     from tripleforge.canon import canonicalize
 
-    df = canonicalize(df)
-    fn = update_mod.insert_data if op == "insert" else update_mod.delete_data
-    return fn(catalog, df, graph=with_graph, run_id=run_id)
+    c = _Cursor(_tokenize(text))
+    c.prologue()
+    with_graph = None
+    if _kw(c.peek(), "WITH"):
+        c.next()
+        k, v = c.next()
+        if k != "IRI":
+            raise SparqlError("WITH needs an IRIREF")
+        with_graph = v[1:-1]
+    t = c.peek()
+    if _kw(t, "LOAD"):
+        c.next()
+        k, v = c.next()
+        if k != "IRI":
+            raise SparqlError("LOAD needs a source IRIREF")
+        source = v[1:-1]
+        graph = with_graph
+        if _kw(c.peek(), "INTO"):
+            c.next()
+            if not (c.peek() and (c.peek()[0] == "GRAPHKW" or _kw(c.peek(), "GRAPH"))):
+                raise SparqlError("expected GRAPH after INTO")
+            c.next()
+            k, v = c.next()
+            if k != "IRI":
+                raise SparqlError("INTO GRAPH needs an IRIREF")
+            graph = v[1:-1]
+        if c.peek() is not None:
+            raise SparqlError(f"trailing tokens after LOAD: {c.peek()!r}")
+        return _exec_load(spark, catalog, source, graph, run_id)
+
+    def as_df(rows):
+        return canonicalize(
+            spark.createDataFrame(
+                rows,
+                "subj string, pred string, obj string, obj_kind string, "
+                "obj_dt string, obj_lang string, graph string",
+            )
+        )
+
+    if _kw(t, "INSERT") or _kw(t, "DELETE"):
+        op = "insert" if _kw(t, "INSERT") else "delete"
+        c.next()
+        nxt = c.peek()
+        if _kw(nxt, "DATA"):
+            # existing DATA path (TriG-parsed quad block)
+            _, _, rows = parse_update(text)
+            df = as_df(rows)
+            fn = update_mod.insert_data if op == "insert" else update_mod.delete_data
+            return fn(catalog, df, graph=with_graph, run_id=run_id)
+        delete_tmpl = insert_tmpl = None
+        if op == "delete" and _kw(nxt, "WHERE"):
+            patterns, filters = _parse_group_pattern(c)
+            _parse_modifiers(c)
+            patterns, delete_tmpl, extra = _delete_where_compile(patterns, with_graph)
+            filters += extra
+        else:
+            if nxt != ("PUNCT", "{"):
+                raise SparqlError("expected DATA, WHERE, or a template")
+            tmpl = _parse_template_block(c)
+            if op == "delete":
+                delete_tmpl = tmpl
+                if _kw(c.peek(), "INSERT"):
+                    c.next()
+                    insert_tmpl = _parse_template_block(c)
+            else:
+                insert_tmpl = tmpl
+            patterns, filters = _parse_group_pattern(c)
+            _parse_modifiers(c)
+            if with_graph is not None:
+                patterns = [
+                    Pattern(s=pt.s, p=pt.p, o=pt.o, g=pt.g or with_graph,
+                            optional=pt.optional)
+                    for pt in patterns
+                ]
+        sol = bgp(catalog.read_statements(), patterns, carry_meta=True)
+        for spec in filters:
+            sol = sol.where(_compile_filter(spec, set(sol.columns)))
+        deletes = (
+            canonicalize(_instantiate(sol, delete_tmpl, with_graph))
+            if delete_tmpl
+            else None
+        )
+        inserts = (
+            canonicalize(_instantiate(sol, insert_tmpl, with_graph))
+            if insert_tmpl
+            else None
+        )
+        return update_mod.modify(catalog, deletes, inserts, run_id=run_id)
+    raise SparqlError("expected LOAD, INSERT, or DELETE")
+
+
+def _exec_load(
+    spark: SparkSession, catalog, source: str, graph: str | None, run_id: str | None
+) -> int:
+    """LOAD: read RDF files from storage through the corpus scan and
+    run the full build pipeline (parse → canon → graph inject → commit)
+    — exactly what the reference's loader CLI does for one file set."""
+    from tripleforge.io import read_files_as_corpus
+    from tripleforge.pipeline import BuildConfig, build
+
+    path = re.sub(r"^file://", "", source)
+    corpus = read_files_as_corpus(spark, path)
+    res = build(
+        spark,
+        corpus,
+        catalog,
+        BuildConfig(
+            graph_override=graph, link_entities=False, run_id=run_id, resume=False
+        ),
+    )
+    return res.snapshot_id

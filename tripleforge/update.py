@@ -102,6 +102,55 @@ def insert_data(
     )
 
 
+def modify(
+    catalog: Catalog,
+    deletes: DataFrame | None = None,
+    inserts: DataFrame | None = None,
+    run_id: str | None = None,
+) -> int:
+    """SPARQL 1.1 Modify (§3.1.3): apply deletions then insertions,
+    both evaluated against the pre-update store, in ONE snapshot
+    commit. Partition-scoped like delete_data: only graph buckets
+    touched by either side are read/rewritten; untouched data files
+    carry over verbatim. A quad both deleted and inserted ends up
+    present (insert happens after delete)."""
+    if deletes is None and inserts is None:
+        raise ValueError("modify() needs deletes and/or inserts")
+    spark = (deletes or inserts).sparkSession
+    live = catalog.read_statements()
+    n_buckets = getattr(catalog, "n_buckets", N_GRAPH_BUCKETS)
+    touched: set[int] = set()
+    if deletes is not None:
+        deletes = _conform(deletes)
+        touched |= set(touched_buckets(deletes, n_buckets))
+    if inserts is not None:
+        inserts = ops.dedup(_conform(inserts))
+        touched |= set(touched_buckets(inserts, n_buckets))
+    keep_paths = None
+    if hasattr(catalog, "live_paths") and "graph_bucket" in live.columns:
+        keep_paths = [
+            p
+            for p in catalog.live_paths()
+            if int(p.rsplit("graph_bucket=", 1)[1]) not in touched
+        ]
+        live = restrict_to_buckets(live, sorted(touched))
+    remaining = (
+        _anti_on_quad_key(live, deletes) if deletes is not None else live
+    ).select(*[f.name for f in STATEMENT.fields])
+    data = remaining
+    if inserts is not None:
+        data = data.unionByName(_anti_on_quad_key(inserts, remaining))
+    n = data.count()
+    lin = _empty_lineage(spark, "modify", n)
+    return catalog.commit_snapshot(
+        data,
+        lin,
+        run_id=run_id or uuid.uuid4().hex,
+        operation="overwrite",
+        replace_paths=keep_paths,
+    )
+
+
 def delete_data(
     catalog: Catalog,
     stmts: DataFrame,
