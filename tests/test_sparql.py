@@ -126,9 +126,15 @@ def test_with_graph_targets_inserts(spark, cat_root):
     assert row.graph == "urn:target"
 
 
-def test_update_rejects_unsupported_forms(spark, cat_root):
+def test_update_rejects_malformed_forms(spark, cat_root):
     cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
-    for bad in ("CLEAR ALL", "DROP GRAPH <urn:g>", "COPY <urn:a> TO <urn:b>"):
+    for bad in (
+        "DESCRIBE <urn:x>",          # not an update form
+        "CREATE",                    # CREATE without GRAPH
+        "COPY <urn:a>",              # COPY without TO
+        "CLEAR SOMETHING",           # bad CLEAR target
+        "INSERT <urn:s> <urn:p> 1",  # INSERT without DATA/template
+    ):
         with pytest.raises(sparql.SparqlError):
             sparql.execute_update(spark, cat, bad, run_id="x")
 
@@ -474,3 +480,59 @@ def test_load(spark, cat_root, tmp_path):
     )
     rows = {(r.subj, r.graph) for r in cat.read_statements().select("subj", "graph").collect()}
     assert rows == {("urn:s", "urn:loaded"), ("urn:s2", "urn:loaded")}
+
+
+def test_clear_and_drop(spark, cat_root):
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    _seed_store(spark, cat)
+    sparql.execute_update(spark, cat, "CLEAR GRAPH <urn:g2>", run_id="c1")
+    assert {r.graph for r in cat.read_statements().select("graph").collect()} == {"urn:g1"}
+    sparql.execute_update(spark, cat, "DROP SILENT ALL", run_id="c2")
+    assert cat.read_statements().count() == 0
+
+
+def test_clear_default_and_named(spark, cat_root):
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    _seed_store(spark, cat)
+    sparql.execute_update(
+        spark, cat, 'INSERT DATA { <urn:d> <urn:p> "x" . }', run_id="i"
+    )  # default (null) graph
+    sparql.execute_update(spark, cat, "CLEAR DEFAULT", run_id="c1")
+    graphs = {r.graph for r in cat.read_statements().select("graph").collect()}
+    assert graphs == {"urn:g1", "urn:g2"}
+    sparql.execute_update(
+        spark, cat, 'INSERT DATA { <urn:d> <urn:p> "x" . }', run_id="i2"
+    )
+    sparql.execute_update(spark, cat, "CLEAR NAMED", run_id="c2")
+    rows = cat.read_statements().select("subj", "graph").collect()
+    assert {(r.subj, r.graph) for r in rows} == {("urn:d", None)}
+
+
+def test_copy_move_add_graphs(spark, cat_root):
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    _seed_store(spark, cat)
+
+    def snap():
+        return {
+            (r.subj, r.pred, r.graph)
+            for r in cat.read_statements().select("subj", "pred", "graph").collect()
+        }
+
+    # ADD g1 TO g2: union, g1 kept; one snapshot
+    before = cat.latest_snapshot_id()
+    sparql.execute_update(spark, cat, "ADD GRAPH <urn:g1> TO GRAPH <urn:g2>", run_id="a1")
+    assert cat.latest_snapshot_id() == before + 1
+    s = snap()
+    assert ("urn:a", "urn:p:name", "urn:g2") in s and ("urn:a", "urn:p:name", "urn:g1") in s
+    # COPY g1 TO g3: g3 := g1
+    sparql.execute_update(spark, cat, "COPY <urn:g1> TO <urn:g3>", run_id="a2")
+    s = snap()
+    assert {(x, p) for x, p, g in s if g == "urn:g3"} == {(x, p) for x, p, g in s if g == "urn:g1"}
+    # MOVE g3 TO g4: g3 emptied
+    sparql.execute_update(spark, cat, "MOVE <urn:g3> TO <urn:g4>", run_id="a3")
+    s = snap()
+    assert not any(g == "urn:g3" for _, _, g in s)
+    assert {(x, p) for x, p, g in s if g == "urn:g4"} == {(x, p) for x, p, g in s if g == "urn:g1"}
+    # CREATE is a no-op
+    sid = sparql.execute_update(spark, cat, "CREATE GRAPH <urn:new>", run_id="a4")
+    assert sid == cat.latest_snapshot_id()

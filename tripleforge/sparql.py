@@ -897,6 +897,70 @@ def execute_update(
             raise SparqlError("WITH needs an IRIREF")
         with_graph = v[1:-1]
     t = c.peek()
+    if _kw(t, "CLEAR") or _kw(t, "DROP"):
+        c.next()
+        if _kw(c.peek(), "SILENT"):
+            c.next()
+        t = c.peek()
+        if _kw(t, "ALL"):
+            c.next()
+            which, g = "all", None
+        elif _kw(t, "DEFAULT"):
+            c.next()
+            which, g = "default", None
+        elif _kw(t, "NAMED"):
+            c.next()
+            which, g = "named", None
+        elif t is not None and (t[0] == "GRAPHKW" or _kw(t, "GRAPH")):
+            c.next()
+            k, v = c.next()
+            if k != "IRI":
+                raise SparqlError("CLEAR/DROP GRAPH needs an IRIREF")
+            which, g = "graph", v[1:-1]
+        else:
+            raise SparqlError("expected GRAPH <iri> | DEFAULT | NAMED | ALL")
+        if c.peek() is not None:
+            raise SparqlError(f"trailing tokens: {c.peek()!r}")
+        return update_mod.clear(catalog, graph=g, which=which, run_id=run_id)
+    if _kw(t, "CREATE"):
+        c.next()
+        if _kw(c.peek(), "SILENT"):
+            c.next()
+        if not (c.peek() and (c.peek()[0] == "GRAPHKW" or _kw(c.peek(), "GRAPH"))):
+            raise SparqlError("expected GRAPH after CREATE")
+        c.next()
+        k, v = c.next()
+        if k != "IRI":
+            raise SparqlError("CREATE GRAPH needs an IRIREF")
+        # graphs are implicit in this store (a graph exists iff it has
+        # statements) — CREATE is a spec-compliant no-op
+        return catalog.latest_snapshot_id() or 0
+    if _kw(t, "COPY") or _kw(t, "MOVE") or _kw(t, "ADD"):
+        op = t[1].lower()
+        c.next()
+        if _kw(c.peek(), "SILENT"):
+            c.next()
+
+        def graph_or_default() -> str | None:
+            tk = c.peek()
+            if _kw(tk, "DEFAULT"):
+                c.next()
+                return None
+            if tk is not None and (tk[0] == "GRAPHKW" or _kw(tk, "GRAPH")):
+                c.next()
+                tk = c.peek()
+            k, v = c.next()
+            if k != "IRI":
+                raise SparqlError(f"{op.upper()} needs GRAPH <iri> or DEFAULT")
+            return v[1:-1]
+
+        src = graph_or_default()
+        if not _kw(c.next(), "TO"):
+            raise SparqlError(f"expected TO in {op.upper()}")
+        dst = graph_or_default()
+        if c.peek() is not None:
+            raise SparqlError(f"trailing tokens: {c.peek()!r}")
+        return update_mod.graph_op(catalog, op, src, dst, run_id=run_id)
     if _kw(t, "LOAD"):
         c.next()
         k, v = c.next()

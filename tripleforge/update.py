@@ -107,6 +107,7 @@ def modify(
     deletes: DataFrame | None = None,
     inserts: DataFrame | None = None,
     run_id: str | None = None,
+    touched: set[int] | None = None,
 ) -> int:
     """SPARQL 1.1 Modify (§3.1.3): apply deletions then insertions,
     both evaluated against the pre-update store, in ONE snapshot
@@ -116,16 +117,19 @@ def modify(
     present (insert happens after delete)."""
     if deletes is None and inserts is None:
         raise ValueError("modify() needs deletes and/or inserts")
-    spark = (deletes or inserts).sparkSession
+    spark = (deletes if deletes is not None else inserts).sparkSession
     live = catalog.read_statements()
     n_buckets = getattr(catalog, "n_buckets", N_GRAPH_BUCKETS)
-    touched: set[int] = set()
+    probe = touched is None
+    touched = set() if probe else set(touched)
     if deletes is not None:
         deletes = _conform(deletes)
-        touched |= set(touched_buckets(deletes, n_buckets))
+        if probe:
+            touched |= set(touched_buckets(deletes, n_buckets))
     if inserts is not None:
         inserts = ops.dedup(_conform(inserts))
-        touched |= set(touched_buckets(inserts, n_buckets))
+        if probe:
+            touched |= set(touched_buckets(inserts, n_buckets))
     keep_paths = None
     if hasattr(catalog, "live_paths") and "graph_bucket" in live.columns:
         keep_paths = [
@@ -149,6 +153,90 @@ def modify(
         operation="overwrite",
         replace_paths=keep_paths,
     )
+
+
+def clear(
+    catalog: Catalog,
+    graph: str | None = None,
+    which: str = "graph",
+    run_id: str | None = None,
+) -> int:
+    """SPARQL 1.1 §3.2.2/3.2.3 CLEAR/DROP: remove all statements of one
+    graph (``which="graph"``), the default graph (``"default"``), all
+    named graphs (``"named"``), or everything (``"all"``). GRAPH and
+    DEFAULT forms are partition-scoped (only the one bucket holding the
+    target graph is rewritten)."""
+    spark = catalog.read_statements().sparkSession
+    live = catalog.read_statements()
+    if which == "all":
+        data = live.limit(0).select(*[f.name for f in STATEMENT.fields])
+        lin = _empty_lineage(spark, "clear", 0)
+        return catalog.commit_snapshot(
+            data, lin, run_id=run_id or uuid.uuid4().hex,
+            operation="overwrite", replace_paths=[],
+        )
+    n_buckets = getattr(catalog, "n_buckets", N_GRAPH_BUCKETS)
+    if which == "named":
+        cond = F.col("graph").isNotNull()
+        keep_paths = None  # named graphs span all buckets → full rewrite
+    else:
+        target = graph if which == "graph" else None
+        cond = F.col("graph").eqNullSafe(F.lit(target))
+        probe = spark.createDataFrame([(target,)], "graph string")
+        touched = touched_buckets(probe, n_buckets)
+        keep_paths = None
+        if hasattr(catalog, "live_paths") and "graph_bucket" in live.columns:
+            tset = set(touched)
+            keep_paths = [
+                p
+                for p in catalog.live_paths()
+                if int(p.rsplit("graph_bucket=", 1)[1]) not in tset
+            ]
+            live = restrict_to_buckets(live, touched)
+    remaining = live.where(~cond).select(*[f.name for f in STATEMENT.fields])
+    n = remaining.count()
+    lin = _empty_lineage(spark, "clear", n)
+    return catalog.commit_snapshot(
+        remaining, lin, run_id=run_id or uuid.uuid4().hex,
+        operation="overwrite", replace_paths=keep_paths,
+    )
+
+
+def graph_op(
+    catalog: Catalog,
+    op: str,
+    src: str | None,
+    dst: str | None,
+    run_id: str | None = None,
+) -> int:
+    """SPARQL 1.1 §3.2.5-3.2.7 COPY/MOVE/ADD between graphs (None =
+    default graph), as ONE snapshot via :func:`modify`:
+
+    - ADD  src TO dst: dst ∪= src (src kept)
+    - COPY src TO dst: dst := src (dst cleared first, src kept)
+    - MOVE src TO dst: dst := src, src cleared
+    """
+    if op not in ("add", "copy", "move"):
+        raise ValueError(f"unknown graph op {op!r}")
+    if src == dst:
+        return catalog.latest_snapshot_id() or 0  # no-op per spec
+    live = catalog.read_statements()
+    # the touched graphs are the two constants — compute their buckets
+    # from a probe row (no live scan) and prune every read to them
+    spark = live.sparkSession
+    n_buckets = getattr(catalog, "n_buckets", N_GRAPH_BUCKETS)
+    probe = spark.createDataFrame([(src,), (dst,)], "graph string")
+    buckets = set(touched_buckets(probe, n_buckets))
+    live = restrict_to_buckets(live, sorted(buckets))
+    src_rows = live.where(F.col("graph").eqNullSafe(F.lit(src)))
+    inserts = src_rows.withColumn("graph", F.lit(dst))
+    deletes = None
+    if op in ("copy", "move"):
+        deletes = live.where(F.col("graph").eqNullSafe(F.lit(dst)))
+    if op == "move":
+        d2 = src_rows
+        deletes = deletes.unionByName(d2) if deletes is not None else d2
+    return modify(catalog, deletes, inserts, run_id=run_id, touched=buckets)
 
 
 def delete_data(
