@@ -68,7 +68,7 @@ def main() -> int:
 
     if args.sparql or args.sparql_file:
         text = args.sparql or open(args.sparql_file).read()
-        result = sparql_mod.query(stmts, text)
+        result = sparql_mod.query(stmts, text, n_buckets=catalog.n_buckets)
         if args.out:  # CONSTRUCT-to-file (the reference's Rio writer path)
             from tripleforge.io import write_ntriples
 
@@ -80,7 +80,7 @@ def main() -> int:
         parts = [(_term(x)) for x in args.pattern.split(",")]
         while len(parts) < 4:
             parts.append(None)
-        result = match(stmts, *parts[:4])
+        result = match(stmts, *parts[:4], n_buckets=catalog.n_buckets)
     elif args.bgp:
         pats = []
         for p in args.bgp.split():
@@ -88,7 +88,7 @@ def main() -> int:
             while len(parts) < 4:
                 parts.append(None)
             pats.append(Pattern(*parts[:4]))
-        result = bgp(stmts, pats)
+        result = bgp(stmts, pats, n_buckets=catalog.n_buckets)
     else:
         ap.error("need --pattern, --bgp, --sparql/--sparql-file, or --update")
         return 2

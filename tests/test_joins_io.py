@@ -140,3 +140,47 @@ def test_stateful_repo_counters(spark, tmpdir):
     df2.write.mode("append").parquet(src)
     run_wave()
     assert seen == {"org0/repo0": 5, "org0/repo1": 5}
+
+
+def test_bound_graph_pattern_partition_prunes(spark, tmp_path):
+    """SURVEY §2.B1: a bound graph with the catalog's n_buckets becomes
+    a graph_bucket partition filter — same rows, pruned scan."""
+    import re
+
+    from tripleforge.catalog import ParquetSnapshotCatalog
+    from tripleforge.query import match
+    from tripleforge.update import insert_data
+
+    root = str(tmp_path / "cat")
+    cat = ParquetSnapshotCatalog(spark, root, n_buckets=8)
+    rows = spark.createDataFrame(
+        [(f"urn:s{i}", "urn:p", "urn:o", "iri", f"urn:g{i % 5}") for i in range(50)],
+        "subj string, pred string, obj string, obj_kind string, graph string",
+    )
+    insert_data(cat, rows, run_id="i1")
+    stmts = cat.read_statements()
+    plain = {
+        r.s for r in match(stmts, s="?s", p="urn:p", g="urn:g3").collect()
+    }
+    pruned_df = match(stmts, s="?s", p="urn:p", g="urn:g3", n_buckets=cat.n_buckets)
+    assert {r.s for r in pruned_df.collect()} == plain and plain
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "graph_bucket" in m.group(1), plan[:2000]
+
+
+def test_reopened_catalog_recovers_bucket_count(spark, tmp_path):
+    """A catalog written with n_buckets=8 reopened with the default
+    ctor must use 8 — the manifest records the physical layout."""
+    from tripleforge.catalog import ParquetSnapshotCatalog
+    from tripleforge.update import insert_data
+
+    root = str(tmp_path / "cat")
+    cat = ParquetSnapshotCatalog(spark, root, n_buckets=8)
+    rows = spark.createDataFrame(
+        [("urn:s", "urn:p", "urn:o", "iri", "urn:g")],
+        "subj string, pred string, obj string, obj_kind string, graph string",
+    )
+    insert_data(cat, rows, run_id="i1")
+    reopened = ParquetSnapshotCatalog(spark, root)  # default 64
+    assert reopened.n_buckets == 8

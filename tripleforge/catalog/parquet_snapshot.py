@@ -43,6 +43,12 @@ class ParquetSnapshotCatalog(Catalog):
         self.root = root
         self.n_buckets = n_buckets
         os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
+        # the PHYSICAL layout's bucket count always wins over the ctor
+        # arg — graph_bucket pruning computed with the wrong modulus
+        # would silently drop rows (manifest records it at commit time)
+        m = self._manifest_for(None)
+        if m is not None and "n_buckets" in m:
+            self.n_buckets = m["n_buckets"]
 
     # --- manifest helpers ---------------------------------------------------
     def _snap_dir(self) -> str:
@@ -136,6 +142,7 @@ class ParquetSnapshotCatalog(Catalog):
             "run_id": run_id,
             "parent": parent["snapshot_id"] if parent else None,
             "operation": operation,
+            "n_buckets": self.n_buckets,
             "live_paths": live,
             "lineage_paths": (parent["lineage_paths"] if parent else []) + [lineage_rel],
             "committed_at": time.time(),

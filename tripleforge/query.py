@@ -45,6 +45,7 @@ def match(
     o: str | None = None,
     g: str | None = None,
     carry_meta: bool = False,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Single triple-pattern scan. Bound terms become sargable filters
     (column == literal → Parquet predicate pushdown + graph-bucket
@@ -53,11 +54,21 @@ def match(
     ``carry_meta=True`` additionally projects the object term's
     kind/datatype/language as ``<var>__kind/__dt/__lang`` when the
     object position is a variable — what CONSTRUCT needs to emit
-    well-typed statements from variable bindings."""
+    well-typed statements from variable bindings.
+
+    ``n_buckets`` (pass the CATALOG's bucket count — never guess) turns
+    a bound graph into a ``graph_bucket == const`` partition filter on
+    the bucketed layout: the scan prunes to 1/n_buckets of a 100 TB
+    store (PartitionFilters in the plan)."""
     df = statements
     for col, term in (("subj", s), ("pred", p), ("obj", o), ("graph", g)):
         if term is not None and not _is_var(term):
             df = df.where(F.col(col) == F.lit(term))
+            if col == "graph" and n_buckets and "graph_bucket" in df.columns:
+                df = df.where(
+                    F.col("graph_bucket")
+                    == F.pmod(F.xxhash64(F.lit(term)), F.lit(n_buckets)).cast("int")
+                )
     cols = []
     for col, term in (("subj", s), ("pred", p), ("obj", o), ("graph", g)):
         if _is_var(term):
@@ -75,6 +86,7 @@ def bgp(
     patterns: list[Pattern],
     allow_cartesian: bool = False,
     carry_meta: bool = False,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Basic graph pattern: join pattern scans on shared variables.
 
@@ -95,7 +107,10 @@ def bgp(
     optionals = [pt for pt in patterns if pt.optional]
     result: DataFrame | None = None
     for pt in required:
-        scan = match(statements, pt.s, pt.p, pt.o, pt.g, carry_meta=carry_meta)
+        scan = match(
+            statements, pt.s, pt.p, pt.o, pt.g,
+            carry_meta=carry_meta, n_buckets=n_buckets,
+        )
         if result is None:
             result = scan
             continue
@@ -115,7 +130,10 @@ def bgp(
     if result is None:
         result = statements.limit(0)
     for pt in optionals:
-        scan = match(statements, pt.s, pt.p, pt.o, pt.g, carry_meta=carry_meta)
+        scan = match(
+            statements, pt.s, pt.p, pt.o, pt.g,
+            carry_meta=carry_meta, n_buckets=n_buckets,
+        )
         dup_meta = [c for c in scan.columns if "__" in c and c in result.columns]
         if dup_meta:
             scan = scan.drop(*dup_meta)

@@ -448,7 +448,10 @@ def _compile_agg(item: tuple):
 
 
 def select(
-    statements: DataFrame, text: str, allow_cartesian: bool = False
+    statements: DataFrame,
+    text: str,
+    allow_cartesian: bool = False,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Execute a SPARQL SELECT string against a statement DataFrame.
 
@@ -458,7 +461,9 @@ def select(
     cast the bound lexical to double (SPARQL numeric semantics over
     this engine's string-lexical object column)."""
     projected, patterns, filters, mods, distinct = parse_select(text)
-    out = bgp(statements, patterns, allow_cartesian=allow_cartesian)
+    out = bgp(
+        statements, patterns, allow_cartesian=allow_cartesian, n_buckets=n_buckets
+    )
     for spec in filters:
         out = out.where(_compile_filter(spec, set(out.columns)))
     bound = set(out.columns)
@@ -510,7 +515,12 @@ def select(
     return out
 
 
-def ask(statements: DataFrame, text: str, allow_cartesian: bool = False) -> DataFrame:
+def ask(
+    statements: DataFrame,
+    text: str,
+    allow_cartesian: bool = False,
+    n_buckets: int | None = None,
+) -> DataFrame:
     """SPARQL ASK: one boolean row (column ``ask``)."""
     from pyspark.sql import functions as F
 
@@ -524,25 +534,31 @@ def ask(statements: DataFrame, text: str, allow_cartesian: bool = False) -> Data
         c.toks.insert(c.i, ("WORD", "WHERE"))
     patterns, filters = _parse_group_pattern(c)
     _parse_modifiers(c)  # tolerate (and ignore) trailing modifiers
-    sol = bgp(statements, patterns, allow_cartesian=allow_cartesian)
+    sol = bgp(
+        statements, patterns, allow_cartesian=allow_cartesian, n_buckets=n_buckets
+    )
     for spec in filters:
         sol = sol.where(_compile_filter(spec, set(sol.columns)))
     return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
 
 
 def query(
-    statements: DataFrame, text: str, allow_cartesian: bool = False
+    statements: DataFrame,
+    text: str,
+    allow_cartesian: bool = False,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Dispatch a SPARQL query string: SELECT → bindings table,
-    CONSTRUCT → statement-shaped DataFrame."""
+    CONSTRUCT → statement-shaped DataFrame. Pass the catalog's
+    ``n_buckets`` so bound-graph patterns partition-prune."""
     c = _Cursor(_tokenize(text))
     c.prologue()
     if _kw(c.peek(), "SELECT"):
-        return select(statements, text, allow_cartesian=allow_cartesian)
+        return select(statements, text, allow_cartesian=allow_cartesian, n_buckets=n_buckets)
     if _kw(c.peek(), "CONSTRUCT"):
-        return construct(statements, text, allow_cartesian=allow_cartesian)
+        return construct(statements, text, allow_cartesian=allow_cartesian, n_buckets=n_buckets)
     if _kw(c.peek(), "ASK"):
-        return ask(statements, text, allow_cartesian=allow_cartesian)
+        return ask(statements, text, allow_cartesian=allow_cartesian, n_buckets=n_buckets)
     raise SparqlError("only SELECT, CONSTRUCT, and ASK query forms are supported")
 
 
@@ -640,7 +656,10 @@ def parse_construct(
 
 
 def construct(
-    statements: DataFrame, text: str, allow_cartesian: bool = False
+    statements: DataFrame,
+    text: str,
+    allow_cartesian: bool = False,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Execute a SPARQL CONSTRUCT string → statement-shaped DataFrame
     (subj, pred, obj, obj_kind, obj_dt, obj_lang, graph). Pair with
@@ -649,7 +668,10 @@ def construct(
     from pyspark.sql import functions as F
 
     template, patterns, filters, limit = parse_construct(text)
-    sol = bgp(statements, patterns, allow_cartesian=allow_cartesian, carry_meta=True)
+    sol = bgp(
+        statements, patterns, allow_cartesian=allow_cartesian,
+        carry_meta=True, n_buckets=n_buckets,
+    )
     for spec in filters:
         sol = sol.where(_compile_filter(spec, set(sol.columns)))
     if limit is not None:
@@ -1025,7 +1047,10 @@ def execute_update(
                             optional=pt.optional)
                     for pt in patterns
                 ]
-        sol = bgp(catalog.read_statements(), patterns, carry_meta=True)
+        sol = bgp(
+            catalog.read_statements(), patterns, carry_meta=True,
+            n_buckets=getattr(catalog, "n_buckets", None),
+        )
         for spec in filters:
             sol = sol.where(_compile_filter(spec, set(sol.columns)))
         deletes = (
