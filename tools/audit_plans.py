@@ -134,6 +134,38 @@ def main() -> int:
         failures.append("minhash: full posting self-join present")
     print("minhash_verify_candidate_restricted | no bare-shingle join:", ok, flush=True)
 
+    # 6c. bound-graph queries partition-prune on the bucketed layout
+    import shutil
+    import tempfile
+
+    from tripleforge.catalog import ParquetSnapshotCatalog
+    from tripleforge.query import match
+    from tripleforge.update import insert_data
+
+    cat_root = tempfile.mkdtemp(prefix="tfaudit_")
+    try:
+        cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=8)
+        rows = spark.createDataFrame(
+            [(f"urn:s{i}", "urn:p", "urn:o", "iri", f"urn:g{i % 5}") for i in range(20)],
+            "subj string, pred string, obj string, obj_kind string, graph string",
+        )
+        insert_data(cat, rows, run_id="audit")
+        pruned = match(
+            cat.read_statements(), s="?s", g="urn:g3", n_buckets=cat.n_buckets
+        )
+        p = pruned._jdf.queryExecution().executedPlan().toString()
+        mm = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+        ok = bool(mm and "graph_bucket" in mm.group(1))
+        sections.append(
+            ("bound_graph_partition_pruning", p,
+             [f"{'OK ' if ok else 'FAIL'} graph_bucket in PartitionFilters"])
+        )
+        if not ok:
+            failures.append("bound-graph query does not partition-prune")
+        print("bound_graph_partition_pruning | PartitionFilters:", ok, flush=True)
+    finally:
+        shutil.rmtree(cat_root, ignore_errors=True)
+
     # 7. relational path is pure JVM (codegen-eligible end to end): no
     # Python nodes, hash aggregation, parquet batch scan. (AQE plans
     # print codegen ids only after execution, so assert eligibility.)
