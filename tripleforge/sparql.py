@@ -985,6 +985,8 @@ def execute_update(
         return update_mod.graph_op(catalog, op, src, dst, run_id=run_id)
     if _kw(t, "LOAD"):
         c.next()
+        if _kw(c.peek(), "SILENT"):
+            c.next()
         k, v = c.next()
         if k != "IRI":
             raise SparqlError("LOAD needs a source IRIREF")
