@@ -536,3 +536,51 @@ def test_copy_move_add_graphs(spark, cat_root):
     # CREATE is a no-op
     sid = sparql.execute_update(spark, cat, "CREATE GRAPH <urn:new>", run_id="a4")
     assert sid == cat.latest_snapshot_id()
+
+
+def test_union(stmts):
+    rows = sparql.select(
+        stmts,
+        """SELECT ?x WHERE {
+             { ?x <urn:p:source> <urn:src:a> }
+             UNION
+             { ?x a <urn:T> }
+           }""",
+    ).collect()
+    assert {r.x for r in rows} == {"urn:d1", "urn:d3"}
+
+
+def test_union_unbound_vars_null(stmts):
+    rows = sparql.select(
+        stmts,
+        """SELECT ?x ?n ?t WHERE {
+             { ?x <urn:p:nchars> ?n }
+             UNION
+             { ?x a ?t }
+           }""",
+    ).collect()
+    got = {(r.x, r.n, r.t) for r in rows}
+    assert ("urn:d1", "10", None) in got
+    assert ("urn:d3", None, "urn:T") in got
+    assert len(got) == 3
+
+
+def test_values(stmts):
+    rows = sparql.select(
+        stmts,
+        """SELECT ?d ?n WHERE {
+             ?d <urn:p:nchars> ?n .
+             VALUES ?d { <urn:d2> <urn:d9> }
+           }""",
+    ).collect()
+    assert {(r.d, r.n) for r in rows} == {("urn:d2", "20")}
+
+
+def test_union_rejected_in_updates(spark, cat_root):
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    with pytest.raises(sparql.SparqlError, match="UNION"):
+        sparql.execute_update(
+            spark, cat,
+            "DELETE WHERE { { ?s <urn:p> ?o } UNION { ?s <urn:q> ?o } }",
+            run_id="x",
+        )

@@ -4,10 +4,13 @@ The reference executes SPARQL strings read from files (its ``sparql``
 CLI over RDF4J); this module closes that UX gap by parsing the
 high-frequency subset onto the engine's existing programmatic surface:
 
-- ``SELECT [DISTINCT] ?v… | * WHERE { triple patterns [GRAPH g {…}]
-  [OPTIONAL {…}] [FILTER …] } [LIMIT n]``  →  :func:`tripleforge.query.bgp`
-  (each OPTIONAL triple left-joins independently — exact SPARQL
-  semantics for single-triple OPTIONAL groups, the common case)
+- ``SELECT [DISTINCT] ?v…|*|aggregates WHERE { triple patterns
+  [GRAPH g {…}] [OPTIONAL {…}] [FILTER …] [VALUES ?v {…}]
+  [{…} UNION {…}] } [GROUP BY] [ORDER BY] [OFFSET] [LIMIT]``
+  →  :func:`tripleforge.query.bgp` (each OPTIONAL triple left-joins
+  independently — exact SPARQL semantics for single-triple OPTIONAL
+  groups, the common case; UNION arms union with null-padded
+  variables)
 - ``CONSTRUCT { template } WHERE { … }`` → typed statement output
 - ``ASK { … }`` → one boolean row
 - FILTER subset: ``regex(?v, "pat"[, "i"])`` and ``(?v <op> constant)``
@@ -152,6 +155,30 @@ class _Cursor:
         raise SparqlError(f"bad {position} term {val!r}")
 
 
+def _solutions(
+    statements: DataFrame,
+    groups: list[tuple],
+    allow_cartesian: bool = False,
+    carry_meta: bool = False,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Union of per-group BGP solutions (SPARQL UNION: variables
+    unbound in one arm come back null via allowMissingColumns)."""
+    sols = []
+    for patterns, filters in groups:
+        sol = bgp(
+            statements, patterns, allow_cartesian=allow_cartesian,
+            carry_meta=carry_meta, n_buckets=n_buckets,
+        )
+        for spec in filters:
+            sol = sol.where(_compile_filter(spec, set(sol.columns)))
+        sols.append(sol)
+    out = sols[0]
+    for sol in sols[1:]:
+        out = out.unionByName(sol, allowMissingColumns=True)
+    return out
+
+
 _AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
 
 
@@ -192,8 +219,9 @@ def _parse_agg_projection(c: _Cursor) -> tuple:
 
 def parse_select(
     text: str,
-) -> tuple[list[tuple], list[Pattern], list[tuple], dict, bool]:
-    """→ (projection items, patterns, filters, modifiers, distinct).
+) -> tuple[list[tuple], list[tuple], dict, bool]:
+    """→ (projection items, UNION groups of (patterns, filters),
+    modifiers, distinct).
 
     Projection items are ("var", name) or the aggregate tuple from
     :func:`_parse_agg_projection`; [] means ``*``. Modifiers:
@@ -224,9 +252,9 @@ def parse_select(
             projected.append(_parse_agg_projection(c))
             continue
         break
-    patterns, filters = _parse_group_pattern(c)
+    groups = _parse_group_pattern(c)
     mods = _parse_modifiers(c)
-    return projected, patterns, filters, mods, distinct
+    return projected, groups, mods, distinct
 
 
 def _parse_filter(c: _Cursor) -> tuple:
@@ -296,6 +324,8 @@ def _compile_filter(spec: tuple, bound: set[str]):
         if "i" in flags:
             pat = "(?i)" + pat
         return F.col(var).rlike(pat)
+    if spec[0] == "in":  # VALUES ?v { ... }
+        return F.col(var).isin(spec[2])
     _, _, op, val, numeric = spec
     col = F.col(var).cast("double") if numeric else F.col(var)
     ops = {
@@ -311,61 +341,100 @@ def _compile_filter(spec: tuple, bound: set[str]):
     return ops[op](F.lit(val))
 
 
-def _parse_group_pattern(c: _Cursor) -> tuple[list[Pattern], list[tuple]]:
-    """WHERE { triples [GRAPH g { … }] [OPTIONAL { … }] [FILTER …] } —
-    shared by SELECT, CONSTRUCT, and ASK; stops after the closing brace
-    (solution modifiers are parsed separately)."""
+def _parse_group_pattern(c: _Cursor) -> list[tuple[list[Pattern], list[tuple]]]:
+    """WHERE { group [UNION { group }]* } where a group is triples,
+    ``GRAPH g { … }``, ``OPTIONAL { … }``, ``FILTER …``, and
+    ``VALUES ?v { constants }`` — shared by SELECT, CONSTRUCT, and ASK;
+    stops after the closing brace (solution modifiers are parsed
+    separately). Returns one (patterns, filters) per UNION arm."""
     if not _kw(c.peek(), "WHERE"):
         raise SparqlError("expected WHERE")
     c.next()
     if c.next() != ("PUNCT", "{"):
         raise SparqlError("expected '{' after WHERE")
-    patterns: list[Pattern] = []
-    filters: list[tuple] = []
 
-    def triples_until_close(graph_term: str | None, optional: bool = False) -> None:
+    def parse_one_group(terminators: tuple) -> tuple[list[Pattern], list[tuple]]:
+        patterns: list[Pattern] = []
+        filters: list[tuple] = []
+
+        def triples_until_close(graph_term: str | None, optional: bool = False) -> None:
+            while True:
+                t = c.peek()
+                if t is None:
+                    raise SparqlError("unterminated group pattern")
+                if t == ("PUNCT", "}"):
+                    c.next()
+                    return
+                if t == ("PUNCT", "."):
+                    c.next()
+                    continue
+                if t[0] == "GRAPHKW" or _kw(t, "GRAPH"):
+                    if graph_term is not None:
+                        raise SparqlError("nested GRAPH patterns are not supported")
+                    if optional:
+                        raise SparqlError("GRAPH inside OPTIONAL is not supported")
+                    c.next()
+                    g = c.pattern_term("graph")
+                    if c.next() != ("PUNCT", "{"):
+                        raise SparqlError("expected '{' after GRAPH label")
+                    triples_until_close(g)
+                    continue
+                if _kw(t, "OPTIONAL"):
+                    if optional:
+                        raise SparqlError("nested OPTIONAL is not supported")
+                    c.next()
+                    if c.next() != ("PUNCT", "{"):
+                        raise SparqlError("expected '{' after OPTIONAL")
+                    triples_until_close(graph_term, optional=True)
+                    continue
+                if _kw(t, "FILTER"):
+                    c.next()
+                    filters.append(_parse_filter(c))
+                    continue
+                if _kw(t, "VALUES"):
+                    c.next()
+                    k, v = c.next()
+                    if k != "VAR":
+                        raise SparqlError("VALUES needs a single variable here")
+                    var = v[1:]
+                    if c.next() != ("PUNCT", "{"):
+                        raise SparqlError("expected '{' after VALUES ?var")
+                    vals: list[str] = []
+                    while c.peek() != ("PUNCT", "}"):
+                        if c.peek() is None:
+                            raise SparqlError("unterminated VALUES block")
+                        vals.append(c.pattern_term("VALUES"))
+                    c.next()
+                    if not vals:
+                        raise SparqlError("empty VALUES block")
+                    filters.append(("in", var, vals))
+                    continue
+                s = c.pattern_term("subject")
+                p = c.pattern_term("predicate")
+                o = c.pattern_term("object")
+                patterns.append(Pattern(s=s, p=p, o=o, g=graph_term, optional=optional))
+
+        triples_until_close(None)
+        if not patterns:
+            raise SparqlError("empty group pattern")
+        return patterns, filters
+
+    # UNION chain: WHERE { { A } UNION { B } ... } — else a single group
+    if c.peek() == ("PUNCT", "{"):
+        groups: list[tuple[list[Pattern], list[tuple]]] = []
         while True:
-            t = c.peek()
-            if t is None:
-                raise SparqlError("unterminated group pattern")
-            if t == ("PUNCT", "}"):
+            c.next()  # inner '{'
+            groups.append(parse_one_group(("}",)))
+            if _kw(c.peek(), "UNION"):
                 c.next()
-                return
-            if t == ("PUNCT", "."):
-                c.next()
+                if c.peek() != ("PUNCT", "{"):
+                    raise SparqlError("expected '{' after UNION")
                 continue
-            if t[0] == "GRAPHKW" or _kw(t, "GRAPH"):
-                if graph_term is not None:
-                    raise SparqlError("nested GRAPH patterns are not supported")
-                if optional:
-                    raise SparqlError("GRAPH inside OPTIONAL is not supported")
-                c.next()
-                g = c.pattern_term("graph")
-                if c.next() != ("PUNCT", "{"):
-                    raise SparqlError("expected '{' after GRAPH label")
-                triples_until_close(g)
-                continue
-            if _kw(t, "OPTIONAL"):
-                if optional:
-                    raise SparqlError("nested OPTIONAL is not supported")
-                c.next()
-                if c.next() != ("PUNCT", "{"):
-                    raise SparqlError("expected '{' after OPTIONAL")
-                triples_until_close(graph_term, optional=True)
-                continue
-            if _kw(t, "FILTER"):
-                c.next()
-                filters.append(_parse_filter(c))
-                continue
-            s = c.pattern_term("subject")
-            p = c.pattern_term("predicate")
-            o = c.pattern_term("object")
-            patterns.append(Pattern(s=s, p=p, o=o, g=graph_term, optional=optional))
-
-    triples_until_close(None)
-    if not patterns:
-        raise SparqlError("empty WHERE clause")
-    return patterns, filters
+            break
+        if c.next() != ("PUNCT", "}"):
+            raise SparqlError("expected '}' to close WHERE")
+        return groups
+    return [parse_one_group(("}",))]
 
 
 def _parse_modifiers(c: _Cursor) -> dict:
@@ -460,12 +529,10 @@ def select(
     ORDER BY / OFFSET / LIMIT solution modifiers. Numeric aggregates
     cast the bound lexical to double (SPARQL numeric semantics over
     this engine's string-lexical object column)."""
-    projected, patterns, filters, mods, distinct = parse_select(text)
-    out = bgp(
-        statements, patterns, allow_cartesian=allow_cartesian, n_buckets=n_buckets
+    projected, groups, mods, distinct = parse_select(text)
+    out = _solutions(
+        statements, groups, allow_cartesian=allow_cartesian, n_buckets=n_buckets
     )
-    for spec in filters:
-        out = out.where(_compile_filter(spec, set(out.columns)))
     bound = set(out.columns)
     aggs = [it for it in projected if it[0] == "agg"]
     plain = [it[1] for it in projected if it[0] == "var"]
@@ -532,13 +599,11 @@ def ask(
     # ASK's group pattern is WHERE-optional in SPARQL; accept both
     if not _kw(c.peek(), "WHERE"):
         c.toks.insert(c.i, ("WORD", "WHERE"))
-    patterns, filters = _parse_group_pattern(c)
+    groups = _parse_group_pattern(c)
     _parse_modifiers(c)  # tolerate (and ignore) trailing modifiers
-    sol = bgp(
-        statements, patterns, allow_cartesian=allow_cartesian, n_buckets=n_buckets
+    sol = _solutions(
+        statements, groups, allow_cartesian=allow_cartesian, n_buckets=n_buckets
     )
-    for spec in filters:
-        sol = sol.where(_compile_filter(spec, set(sol.columns)))
     return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
 
 
@@ -622,8 +687,8 @@ def _template_term(c: _Cursor, position: str) -> tuple:
 
 def parse_construct(
     text: str,
-) -> tuple[list[tuple], list[Pattern], list[tuple], int | None]:
-    """→ (template triples, WHERE patterns, filters, limit)."""
+) -> tuple[list[tuple], list[tuple], int | None]:
+    """→ (template triples, UNION groups, limit)."""
     c = _Cursor(_tokenize(text))
     c.prologue()
     if not _kw(c.peek(), "CONSTRUCT"):
@@ -648,11 +713,11 @@ def parse_construct(
         template.append((s, p, o, None))
     if not template:
         raise SparqlError("empty CONSTRUCT template")
-    patterns, filters = _parse_group_pattern(c)
+    groups = _parse_group_pattern(c)
     mods = _parse_modifiers(c)
     if mods["group_by"] or mods["order_by"] or mods["offset"]:
         raise SparqlError("CONSTRUCT supports only the LIMIT modifier")
-    return template, patterns, filters, mods["limit"]
+    return template, groups, mods["limit"]
 
 
 def construct(
@@ -667,13 +732,11 @@ def construct(
     reference's CONSTRUCT-to-file path."""
     from pyspark.sql import functions as F
 
-    template, patterns, filters, limit = parse_construct(text)
-    sol = bgp(
-        statements, patterns, allow_cartesian=allow_cartesian,
+    template, groups, limit = parse_construct(text)
+    sol = _solutions(
+        statements, groups, allow_cartesian=allow_cartesian,
         carry_meta=True, n_buckets=n_buckets,
     )
-    for spec in filters:
-        sol = sol.where(_compile_filter(spec, set(sol.columns)))
     if limit is not None:
         sol = sol.limit(limit)
     return _instantiate(sol, template, default_graph=None)
@@ -1026,7 +1089,10 @@ def execute_update(
             return fn(catalog, df, graph=with_graph, run_id=run_id)
         delete_tmpl = insert_tmpl = None
         if op == "delete" and _kw(nxt, "WHERE"):
-            patterns, filters = _parse_group_pattern(c)
+            groups = _parse_group_pattern(c)
+            if len(groups) > 1:
+                raise SparqlError("UNION is not supported in updates")
+            patterns, filters = groups[0]
             _parse_modifiers(c)
             patterns, delete_tmpl, extra = _delete_where_compile(patterns, with_graph)
             filters += extra
@@ -1041,7 +1107,10 @@ def execute_update(
                     insert_tmpl = _parse_template_block(c)
             else:
                 insert_tmpl = tmpl
-            patterns, filters = _parse_group_pattern(c)
+            groups = _parse_group_pattern(c)
+            if len(groups) > 1:
+                raise SparqlError("UNION is not supported in updates")
+            patterns, filters = groups[0]
             _parse_modifiers(c)
             if with_graph is not None:
                 patterns = [
