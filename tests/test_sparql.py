@@ -584,3 +584,26 @@ def test_union_rejected_in_updates(spark, cat_root):
             "DELETE WHERE { { ?s <urn:p> ?o } UNION { ?s <urn:q> ?o } }",
             run_id="x",
         )
+
+
+def test_construct_skips_solutions_with_unbound_template_vars(stmts, spark):
+    """SPARQL semantics: a solution that leaves a template variable
+    unbound (OPTIONAL miss) instantiates NO statement for that triple —
+    never a null-term statement."""
+    extra = spark.createDataFrame(
+        [("urn:d1", "urn:p:extra", "E", "literal",
+          "http://www.w3.org/2001/XMLSchema#string", None, "urn:g")],
+        stmts.schema,
+    )
+    data = stmts.unionByName(extra)
+    out = sparql.construct(
+        data,
+        """CONSTRUCT { ?d <urn:p:hasExtra> ?e . ?d <urn:p:seen> "y" . }
+           WHERE { ?d <urn:p:nchars> ?n . OPTIONAL { ?d <urn:p:extra> ?e } }""",
+    ).collect()
+    rows = {(r.subj, r.pred, r.obj) for r in out}
+    assert ("urn:d1", "urn:p:hasExtra", "E") in rows
+    # d2 has no extra → NO hasExtra triple, but the constant triple stays
+    assert not any(s == "urn:d2" and p == "urn:p:hasExtra" for s, p, _ in rows)
+    assert ("urn:d2", "urn:p:seen", "y") in rows
+    assert not any(o is None for _, _, o in rows)

@@ -792,7 +792,17 @@ def _instantiate(
             cols.append(resolve(g, "graph").alias("graph"))
         else:
             cols.append(F.lit(default_graph).cast("string").alias("graph"))
-        parts.append(sol.select(*cols))
+        part = sol.select(*cols)
+        # SPARQL: a solution leaving any template term unbound (e.g. an
+        # OPTIONAL/UNION variable bound to null) produces NO statement
+        part = part.where(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        )
+        if g is not None and g[0] == "var":
+            part = part.where(F.col("graph").isNotNull())
+        parts.append(part)
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionByName(p_)
