@@ -280,3 +280,132 @@ def test_build_dedup_stages_share_one_exchange(spark):
     plan = final._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}:\n{plan}"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r2 regressions: commit race + legacy-manifest keep_paths
+# ---------------------------------------------------------------------------
+def _one_row(spark, subj):
+    return spark.createDataFrame(
+        [(subj, "http://p", "http://o", "iri")],
+        "subj string, pred string, obj string, obj_kind string",
+    )
+
+
+def test_concurrent_append_rebases_onto_fresh_parent(spark, cat_root):
+    """ADVICE r2: a concurrent commit publishing between this commit's
+    parent read and its manifest link must NOT be dropped — the append
+    re-reads the latest parent after reserving/publishing and rebases
+    its live_paths, so both commits' data survive in the final store."""
+    import json
+    import os
+
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    update.insert_data(cat, _one_row(spark, "http://a"), graph="urn:g", run_id="i1")
+
+    # inject a concurrent committer that lands AFTER our sid reservation
+    # (exactly the window the old code lost): patch _reserve_sid to
+    # publish a foreign manifest right after reserving ours
+    orig = cat._reserve_sid
+    fired = {"done": False}
+
+    def racy_reserve(parent):
+        sid = orig(parent)
+        if not fired["done"]:
+            fired["done"] = True
+            other = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+            update.insert_data(
+                other, _one_row(spark, "http://concurrent"),
+                graph="urn:g", run_id="race",
+            )
+        return sid
+
+    cat._reserve_sid = racy_reserve
+    update.insert_data(cat, _one_row(spark, "http://b"), graph="urn:g", run_id="i2")
+    cat._reserve_sid = orig
+
+    final = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    subjects = {r.subj for r in final.read_statements().select("subj").collect()}
+    assert subjects == {"http://a", "http://b", "http://concurrent"}
+    # the final manifest's parent chain includes the concurrent commit
+    latest = final._manifest_for(None)
+    assert latest["parent"] is not None
+
+
+def test_concurrent_overwrite_raises(spark, cat_root):
+    """An overwrite racing a concurrent commit must abort loudly (its
+    anti-joins saw a stale live set), never publish a manifest that
+    silently drops the concurrent commit's data."""
+    from tripleforge.catalog.parquet_snapshot import ConcurrentOverwriteError
+
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    update.insert_data(cat, _one_row(spark, "http://a"), graph="urn:g", run_id="i1")
+    update.insert_data(cat, _one_row(spark, "http://b"), graph="urn:g", run_id="i2")
+
+    orig = cat._reserve_sid
+    fired = {"done": False}
+
+    def racy_reserve(parent):
+        sid = orig(parent)
+        if not fired["done"]:
+            fired["done"] = True
+            other = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+            update.insert_data(
+                other, _one_row(spark, "http://concurrent"),
+                graph="urn:g", run_id="race",
+            )
+        return sid
+
+    cat._reserve_sid = racy_reserve
+    with pytest.raises(ConcurrentOverwriteError):
+        update.delete_data(
+            cat, _one_row(spark, "http://a"), graph="urn:g", run_id="d1"
+        )
+    cat._reserve_sid = orig
+    # the concurrent commit's data is intact; the aborted overwrite
+    # published nothing
+    final = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    subjects = {r.subj for r in final.read_statements().select("subj").collect()}
+    assert subjects == {"http://a", "http://b", "http://concurrent"}
+
+
+def test_mutation_on_legacy_whole_snapshot_manifest(spark, cat_root):
+    """ADVICE r2: manifests recording live paths at whole-snapshot
+    granularity (no graph_bucket= segment) must not crash a mutation —
+    the engine falls back to a full rewrite for such entries."""
+    import json
+    import os
+
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    rows = spark.createDataFrame(
+        [
+            ("http://s1", "http://p", "http://o", "iri"),
+            ("http://s2", "http://p", "http://o", "iri"),
+        ],
+        "subj string, pred string, obj string, obj_kind string",
+    )
+    update.insert_data(cat, rows, graph="urn:g", run_id="i1")
+    # doctor the manifest to the legacy whole-snapshot granularity
+    mpath = os.path.join(cat_root, "_snapshots", "v1.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    m["live_paths"] = ["data/snap=1"]
+    os.unlink(mpath)
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+
+    cat2 = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    update.delete_data(
+        cat2, _one_row(spark, "http://s1"), graph="urn:g", run_id="d1"
+    )
+    left = cat2.read_statements().select("subj").collect()
+    assert {r.subj for r in left} == {"http://s2"}
+
+
+def test_bucket_of_parses_defensively():
+    from tripleforge.update import _bucket_of
+
+    assert _bucket_of("data/snap=3/graph_bucket=17") == 17
+    assert _bucket_of("data/snap=3/graph_bucket=17/part-0.parquet") == 17
+    assert _bucket_of("data/snap=3") is None
+    assert _bucket_of("data/snap=3/graph_bucket=oops") is None

@@ -607,3 +607,55 @@ def test_construct_skips_solutions_with_unbound_template_vars(stmts, spark):
     assert not any(s == "urn:d2" and p == "urn:p:hasExtra" for s, p, _ in rows)
     assert ("urn:d2", "urn:p:seen", "y") in rows
     assert not any(o is None for _, _, o in rows)
+
+
+def test_connected_chain_bgp_does_not_raise(spark):
+    """ADVICE r2: a fully CONNECTED chain whose most-selective pattern
+    sorts first must not be misflagged as a cross product — greedy
+    connectivity ordering picks joinable patterns."""
+    from tripleforge.query import Pattern, bgp
+
+    stmts = spark.createDataFrame(
+        [
+            ("urn:a1", "urn:p", "urn:b1", "iri", None, None, "g"),
+            ("urn:b1", "urn:q", "urn:c1", "iri", None, None, "g"),
+            ("urn:c1", "urn:r", "urn:x", "iri", None, None, "g"),
+            ("urn:a2", "urn:p", "urn:b2", "iri", None, None, "g"),
+            ("urn:b2", "urn:q", "urn:c2", "iri", None, None, "g"),
+            ("urn:c2", "urn:r", "urn:y", "iri", None, None, "g"),
+        ],
+        "subj string, pred string, obj string, obj_kind string, "
+        "obj_dt string, obj_lang string, graph string",
+    )
+    # the 2-bound pattern (?c r <x>) is most selective and seeds the
+    # join; ?a p ?b connects only transitively through ?b q ?c
+    rows = bgp(
+        stmts,
+        [
+            Pattern(s="?a", p="urn:p", o="?b"),
+            Pattern(s="?b", p="urn:q", o="?c"),
+            Pattern(s="?c", p="urn:r", o="urn:x"),
+        ],
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"], r["c"]) == ("urn:a1", "urn:b1", "urn:c1")
+
+    # the same chain through the SPARQL text front-end (no
+    # allow_cartesian escape hatch exists there)
+    from tripleforge import sparql
+
+    out = sparql.select(
+        stmts,
+        "SELECT ?a WHERE { ?a <urn:p> ?b . ?b <urn:q> ?c . ?c <urn:r> <urn:x> }",
+    ).collect()
+    assert [r["a"] for r in out] == ["urn:a1"]
+
+    # genuinely disconnected patterns still raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cross product"):
+        bgp(
+            stmts,
+            [Pattern(s="?a", p="urn:p", o="?b"), Pattern(s="?x", p="urn:q", o="?y")],
+        )

@@ -37,6 +37,23 @@ from tripleforge.io import N_GRAPH_BUCKETS, with_graph_bucket
 from tripleforge.schema import STATEMENT
 
 
+class ConcurrentOverwriteError(RuntimeError):
+    """An overwrite commit raced a concurrent commit: its replace_paths
+    and anti-joins were computed against a live set that is no longer
+    the latest. The mutation must be retried from scratch against the
+    new snapshot — rebasing the manifest alone would silently drop the
+    concurrent commit's data (ADVICE r2)."""
+
+    def __init__(self, sid: int, other: int):
+        super().__init__(
+            f"overwrite snapshot {sid} conflicts with concurrently "
+            f"published snapshot {other}; retry the mutation against "
+            "the latest snapshot"
+        )
+        self.sid = sid
+        self.conflicting = other
+
+
 class ParquetSnapshotCatalog(Catalog):
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = N_GRAPH_BUCKETS):
         self.spark = spark
@@ -105,8 +122,7 @@ class ParquetSnapshotCatalog(Catalog):
         for m in self._manifests():
             if m["run_id"] == run_id:
                 return m["snapshot_id"]  # idempotent re-commit
-        parent = self._manifest_for(None)
-        sid = self._reserve_sid(parent)
+        sid = self._reserve_sid(self._manifest_for(None))
 
         data_rel = f"data/snap={sid}"
         data_path = os.path.join(self.root, data_rel)
@@ -127,40 +143,78 @@ class ParquetSnapshotCatalog(Catalog):
             if d.startswith("graph_bucket=")
         )
         lineage_rel = f"lineage/snap={sid}"
-        if "snapshot_id" not in lineage.columns:
-            lineage = lineage.withColumn("snapshot_id", F.lit(sid).cast("long"))
-        lineage.write.mode("errorifexists").parquet(
+        stamp_sid = "snapshot_id" not in lineage.columns
+        (lineage.withColumn("snapshot_id", F.lit(sid).cast("long")) if stamp_sid
+         else lineage).write.mode("errorifexists").parquet(
             os.path.join(self.root, lineage_rel)
         )
 
-        if operation == "overwrite":
-            live = (replace_paths or []) + new_paths
-        else:
-            live = (parent["live_paths"] if parent else []) + new_paths
-        manifest = {
-            "snapshot_id": sid,
-            "run_id": run_id,
-            "parent": parent["snapshot_id"] if parent else None,
-            "operation": operation,
-            "n_buckets": self.n_buckets,
-            "live_paths": live,
-            "lineage_paths": (parent["lineage_paths"] if parent else []) + [lineage_rel],
-            "committed_at": time.time(),
-        }
-        tmp = os.path.join(self._snap_dir(), f".v{sid}.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+        # publish-then-validate (ADVICE r2): the parent is re-read AFTER
+        # the data write, the manifest is hard-linked into place, and
+        # the published-ids set is re-checked — if a concurrent commit
+        # landed between our parent and our sid, an append REBASES its
+        # live_paths onto the fresh parent and republishes (appends only
+        # ever add paths, so the merge is trivially correct), while an
+        # overwrite must abort: its replace_paths/anti-joins were
+        # computed against a live set that no longer exists.
         dst = os.path.join(self._snap_dir(), f"v{sid}.json")
-        try:
-            os.link(tmp, dst)  # fails on existing target — never clobbers
-        except FileExistsError as exc:  # pragma: no cover - reservation bug
-            raise RuntimeError(
-                f"snapshot id {sid} was published concurrently despite the "
-                "reservation protocol — manual repair required"
-            ) from exc
-        finally:
-            os.unlink(tmp)
-        return sid
+        while True:
+            parent = self._manifest_for(None)
+            parent_sid = parent["snapshot_id"] if parent else 0
+            if parent_sid >= sid:  # someone published past our reservation
+                if operation == "overwrite":
+                    raise ConcurrentOverwriteError(sid, parent_sid)
+                sid = self._reserve_sid(parent)
+                # data files stay at their original snap=<id> directory;
+                # only the manifest id moves forward (live_paths are
+                # plain path strings, so the reference stays valid) —
+                # but the lineage stamp must track the final sid
+                dst = os.path.join(self._snap_dir(), f"v{sid}.json")
+                if stamp_sid:
+                    lineage_rel = f"lineage/snap={sid}"
+                    lineage.withColumn(
+                        "snapshot_id", F.lit(sid).cast("long")
+                    ).write.mode("errorifexists").parquet(
+                        os.path.join(self.root, lineage_rel)
+                    )
+            if operation == "overwrite":
+                live = (replace_paths or []) + new_paths
+            else:
+                live = (parent["live_paths"] if parent else []) + new_paths
+            manifest = {
+                "snapshot_id": sid,
+                "run_id": run_id,
+                "parent": parent["snapshot_id"] if parent else None,
+                "operation": operation,
+                "n_buckets": self.n_buckets,
+                "live_paths": live,
+                "lineage_paths": (parent["lineage_paths"] if parent else [])
+                + [lineage_rel],
+                "committed_at": time.time(),
+            }
+            tmp = os.path.join(self._snap_dir(), f".v{sid}.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            try:
+                os.link(tmp, dst)  # fails on existing target — never clobbers
+            except FileExistsError as exc:  # pragma: no cover - reservation bug
+                raise RuntimeError(
+                    f"snapshot id {sid} was published concurrently despite "
+                    "the reservation protocol — manual repair required"
+                ) from exc
+            finally:
+                os.unlink(tmp)
+            # validate: did anything publish between our parent and us?
+            gap = [
+                m["snapshot_id"]
+                for m in self._manifests()
+                if parent_sid < m["snapshot_id"] < sid
+            ]
+            if not gap:
+                return sid
+            os.unlink(dst)  # retract and retry the merge on a fresh parent
+            if operation == "overwrite":
+                raise ConcurrentOverwriteError(sid, max(gap))
 
     # --- read ----------------------------------------------------------------
     def read_statements(self, snapshot_id: int | None = None) -> DataFrame:

@@ -46,6 +46,37 @@ def restrict_to_buckets(live: DataFrame, buckets: list[int]) -> DataFrame:
     return live.where(F.col("graph_bucket").isin(buckets))
 
 
+def _bucket_of(path: str) -> int | None:
+    """graph_bucket id encoded in a live-path entry, or None for paths
+    written before bucket-granular manifests (e.g. a whole-snapshot
+    ``data/snap=N`` entry) — ADVICE r2: those must be treated as
+    always-touched (rewritten), never crash the mutation."""
+    _, sep, tail = path.rpartition("graph_bucket=")
+    if not sep:
+        return None
+    try:
+        return int(tail.split("/", 1)[0])
+    except ValueError:
+        return None
+
+
+def _keep_paths(catalog, touched: set[int]) -> list[str] | None:
+    """Live paths a mutation carries over verbatim: every bucket-tagged
+    path outside the touched set. If ANY live path lacks a parseable
+    bucket segment (a pre-bucketing whole-snapshot entry), return None
+    → the caller skips partition pruning entirely and does a full
+    rewrite — excluding only the unparseable path from keep while still
+    bucket-pruning the read would silently drop its untouched rows."""
+    out = []
+    for p in catalog.live_paths():
+        b = _bucket_of(p)
+        if b is None:
+            return None
+        if b not in touched:
+            out.append(p)
+    return out
+
+
 def _conform(stmts: DataFrame) -> DataFrame:
     """Fill lineage columns absent from a user-supplied statement batch."""
     out = stmts
@@ -132,12 +163,9 @@ def modify(
             touched |= set(touched_buckets(inserts, n_buckets))
     keep_paths = None
     if hasattr(catalog, "live_paths") and "graph_bucket" in live.columns:
-        keep_paths = [
-            p
-            for p in catalog.live_paths()
-            if int(p.rsplit("graph_bucket=", 1)[1]) not in touched
-        ]
-        live = restrict_to_buckets(live, sorted(touched))
+        keep_paths = _keep_paths(catalog, touched)
+        if keep_paths is not None:
+            live = restrict_to_buckets(live, sorted(touched))
     remaining = (
         _anti_on_quad_key(live, deletes) if deletes is not None else live
     ).select(*[f.name for f in STATEMENT.fields])
@@ -186,13 +214,9 @@ def clear(
         touched = touched_buckets(probe, n_buckets)
         keep_paths = None
         if hasattr(catalog, "live_paths") and "graph_bucket" in live.columns:
-            tset = set(touched)
-            keep_paths = [
-                p
-                for p in catalog.live_paths()
-                if int(p.rsplit("graph_bucket=", 1)[1]) not in tset
-            ]
-            live = restrict_to_buckets(live, touched)
+            keep_paths = _keep_paths(catalog, set(touched))
+            if keep_paths is not None:
+                live = restrict_to_buckets(live, touched)
     remaining = live.where(~cond).select(*[f.name for f in STATEMENT.fields])
     n = remaining.count()
     lin = _empty_lineage(spark, "clear", n)
@@ -261,13 +285,9 @@ def delete_data(
     touched = touched_buckets(batch, n_buckets)
     keep_paths = None
     if hasattr(catalog, "live_paths") and "graph_bucket" in live.columns:
-        touched_set = set(touched)
-        keep_paths = [
-            p
-            for p in catalog.live_paths()
-            if int(p.rsplit("graph_bucket=", 1)[1]) not in touched_set
-        ]
-        live = restrict_to_buckets(live, touched)
+        keep_paths = _keep_paths(catalog, set(touched))
+        if keep_paths is not None:
+            live = restrict_to_buckets(live, touched)
     remaining = _anti_on_quad_key(live, batch).select(
         *[f.name for f in STATEMENT.fields]
     )
