@@ -259,6 +259,61 @@ def q_kg_sha256(spark, sf):
     )
 
 
+def q_kg_sparql_expr(spark, sf):
+    """SPARQL expression layer (A27 ext, r3): FILTER boolean algebra
+    (&& + !) with CONTAINS/STR and BIND arithmetic — all compiled to
+    Catalyst columns; aggregated for a compact value-exact oracle."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    res = sparql.select(
+        stmts,
+        """
+        SELECT ?d ?n2 WHERE {
+          ?d <urn:p:nchars> ?n .
+          BIND(?n * 2 AS ?n2)
+          FILTER(?n >= 100 && ?n < 900 && CONTAINS(STR(?d), "doc") && !(?n = 500))
+        }
+        """,
+    )
+    return res.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n2").cast("long").alias("sum_n2"),
+    )
+
+
+def q_kg_sparql_path(spark, sf):
+    """Property paths (A27 ext, r3): inverse step + sequence —
+    ?src ^urn:p:source/urn:p:nchars ?n joins source entities to their
+    docs' nchars literals in one path expression."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    return sparql.select(
+        stmts,
+        """
+        SELECT ?src (COUNT(*) AS ?n_docs) (SUM(?n) AS ?sum_chars)
+        WHERE { ?src ^<urn:p:source>/<urn:p:nchars> ?n }
+        GROUP BY ?src
+        """,
+    ).select(
+        "src", "n_docs", F.col("sum_chars").cast("long").alias("sum_chars")
+    )
+
+
+def q_kg_sparql_closure(spark, sf):
+    """Transitive closure path (A27 ext, r3): owl:sameAs+ over the
+    per-source chain corpus — a k-doc chain closes to k(k-1)/2 ordered
+    pairs, so the pair count is value-exact against SQL."""
+    from tripleforge import sparql
+
+    stmts, _ = transform(_link_corpus(spark, sf), BuildConfig(link_entities=False))
+    return sparql.select(
+        stmts,
+        "SELECT (COUNT(*) AS ?n_pairs) WHERE { ?a <" + OWL_SAMEAS + ">+ ?b }",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational / query operators (B1-B32) over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -790,7 +845,24 @@ def q_multimodal_meta(spark, sf):
 # Registry
 # ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order IS the driver-coverage rotation: the driver's
+    CORRECTNESS file records at most the FIRST 50 entries, so each
+    round the entries not covered last round lead, and queries already
+    value-verified in two prior rounds (r1+r2) sit at the tail. Every
+    query is driver-checked at least once across r1-r3; all of them run
+    in pytest/check_oracles regardless of position (COVERAGE.md §r3)."""
     return {
+        # new this round (r3)
+        "kg_sparql_expr": q_kg_sparql_expr,
+        "kg_sparql_path": q_kg_sparql_path,
+        "kg_sparql_closure": q_kg_sparql_closure,
+        # omitted from the driver's r2 file by the 50-entry cap
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_meta": q_multimodal_meta,
         # KG construction (SURVEY §2.A)
         "kg_flagship": q_kg_flagship,
         "kg_linking_cc": q_kg_linking_cc,
@@ -803,6 +875,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_delete_analog": q_kg_delete_analog,
         "kg_trig": q_kg_trig,
         "kg_sha256": q_kg_sha256,
+        # training-data ops
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_fingerprint,
+        "token_counts": q_token_counts,
+        "quality_score": q_quality,
+        "langid": q_langid,
         # relational surface (SURVEY §2.B)
         "pruned_scan": q_pruned_scan,
         "agg_pricing": q_agg_pricing,
@@ -814,15 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "cube": q_cube,
         "grouping_sets": q_grouping_sets,
-        "unpivot": q_unpivot,
-        "collect_set": q_collect_set,
-        "ntile": q_ntile,
-        "date_trunc": q_date_trunc,
-        "levenshtein": q_levenshtein,
-        "corr_stats": q_corr_stats,
-        "percentiles": q_percentiles,
         "window_rank": q_window_rank,
-        "rank_variants": q_rank_variants,
         "range_frame": q_range_frame,
         "window_lag": q_window_lag,
         "window_running": q_window_running,
@@ -834,22 +904,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
-        "map_funcs": q_map_funcs,
         "grouped_udaf": q_grouped_udaf,
         "approx_distinct": q_approx_distinct,
         "sampling": q_sampling,
-        # training-data ops
-        "dedup_exact": q_dedup_exact,
-        "doc_fingerprint": q_fingerprint,
-        "token_counts": q_token_counts,
-        "quality_score": q_quality,
-        "langid": q_langid,
-        "jaccard_pairs": q_jaccard_pairs,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_lsh": q_ann_lsh,
-        "multimodal_meta": q_multimodal_meta,
+        # rotation tail: value-verified by the driver in BOTH r1 and r2
+        # (CORRECTNESS_r01/r02); still pytest/check_oracles-covered
+        "unpivot": q_unpivot,
+        "collect_set": q_collect_set,
+        "ntile": q_ntile,
+        "date_trunc": q_date_trunc,
+        "levenshtein": q_levenshtein,
+        "corr_stats": q_corr_stats,
+        "percentiles": q_percentiles,
+        "rank_variants": q_rank_variants,
+        "map_funcs": q_map_funcs,
     }
 
 
@@ -892,6 +960,24 @@ SELECT qid, nid, ROUND(s, 6) AS sim, rnk FROM (
 def oracle_sql() -> dict[str, str]:
     return {
         # --- KG ops: oracles derived from the same deterministic corpus
+        "kg_sparql_expr": """
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars * 2) AS BIGINT) AS sum_n2
+            FROM documents
+            WHERE n_chars >= 100 AND n_chars < 900 AND n_chars <> 500
+        """,
+        "kg_sparql_path": """
+            SELECT 'urn:src:' || source AS src,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "kg_sparql_closure": """
+            -- a k-doc sameAs chain closes transitively to k(k-1)/2 pairs
+            SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_pairs FROM (
+              SELECT COUNT(*) AS c FROM documents GROUP BY source
+            )
+        """,
         "kg_flagship": """
             SELECT 'urn:repo:' || source AS graph,
                    3 * COUNT(*) AS n_triples

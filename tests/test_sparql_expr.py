@@ -1,0 +1,317 @@
+"""SPARQL expression layer (VERDICT r2 #1/#3; SPARQL 1.1 §17):
+FILTER boolean algebra, core functions, BIND, expression projections,
+and exact OPTIONAL-group semantics — all compiled to Catalyst columns.
+Reference analog: RDF4J's SPARQL engine (public behavior of
+jgrzebyta/triple-loader's query path); no reference code available
+(/root/reference is empty — SURVEY.md §0.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tripleforge import sparql
+
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_STR = "http://www.w3.org/2001/XMLSchema#string"
+LANGSTR = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+SCHEMA = (
+    "subj string, pred string, obj string, obj_kind string, "
+    "obj_dt string, obj_lang string, graph string"
+)
+
+
+@pytest.fixture(scope="module")
+def stmts(spark):
+    rows = [
+        # docs with nchars literals
+        ("urn:doc:1", "urn:p:nchars", "100", "literal", XSD_INT, None, "g"),
+        ("urn:doc:2", "urn:p:nchars", "250", "literal", XSD_INT, None, "g"),
+        ("urn:doc:3", "urn:p:nchars", "500", "literal", XSD_INT, None, "g"),
+        ("urn:doc:4", "urn:p:nchars", "900", "literal", XSD_INT, None, "g"),
+        # labels: plain, lang-tagged, IRI object, skolem object
+        ("urn:doc:1", "urn:p:label", "Alpha Doc", "literal", XSD_STR, None, "g"),
+        ("urn:doc:2", "urn:p:label", "beta doc", "literal", LANGSTR, "en", "g"),
+        ("urn:doc:3", "urn:p:label", "gamma", "literal", LANGSTR, "en-gb", "g"),
+        ("urn:doc:4", "urn:p:label", "delta", "literal", LANGSTR, "fr", "g"),
+        ("urn:doc:1", "urn:p:rel", "http://ex.org/x", "iri", None, None, "g"),
+        ("urn:doc:2", "urn:p:rel", "urn:skolem:abc123", "iri", None, None, "g"),
+        # optional-only data: doc1 has BOTH extras, doc2 has only one
+        ("urn:doc:1", "urn:p:extra1", "e1", "literal", XSD_STR, None, "g"),
+        ("urn:doc:1", "urn:p:extra2", "e2", "literal", XSD_STR, None, "g"),
+        ("urn:doc:2", "urn:p:extra1", "e1only", "literal", XSD_STR, None, "g"),
+    ]
+    return rows, None
+
+
+@pytest.fixture(scope="module")
+def df(spark, stmts):
+    rows, _ = stmts
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _vals(df_, col):
+    return sorted(r[col] for r in df_.collect())
+
+
+def test_boolean_algebra(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . "
+        "FILTER(?n > 100 && ?n < 600 || ?n = 900) }",
+    )
+    assert _vals(out, "d") == ["urn:doc:2", "urn:doc:3", "urn:doc:4"]
+
+
+def test_negation_and_parens(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . "
+        "FILTER(!(?n = 500) && (?n >= 250)) }",
+    )
+    assert _vals(out, "d") == ["urn:doc:2", "urn:doc:4"]
+
+
+def test_arithmetic_in_filter(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . FILTER(?n * 2 + 10 = 510) }",
+    )
+    assert _vals(out, "d") == ["urn:doc:2"]
+
+
+def test_bind_then_filter(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d ?half WHERE { ?d <urn:p:nchars> ?n . "
+        "BIND(?n / 2 AS ?half) FILTER(?half >= 250) }",
+    )
+    rows = {(r["d"], r["half"]) for r in out.collect()}
+    assert rows == {("urn:doc:3", 250.0), ("urn:doc:4", 450.0)}
+
+
+def test_bind_rebinding_raises(df):
+    with pytest.raises(sparql.SparqlError, match="already bound"):
+        sparql.select(
+            df,
+            "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . BIND(?n AS ?n) }",
+        ).collect()
+
+
+def test_expression_projection(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d (?n * 2 AS ?dbl) WHERE { ?d <urn:p:nchars> ?n . "
+        "FILTER(?n < 300) }",
+    )
+    rows = {(r["d"], r["dbl"]) for r in out.collect()}
+    assert rows == {("urn:doc:1", 200.0), ("urn:doc:2", 500.0)}
+
+
+def test_iri_constant_normalized_in_filter(df):
+    """ADVICE r2: FILTER IRI constants go through the same RFC-3986
+    normalization as triple-pattern constants."""
+    out = sparql.select(
+        df,
+        "SELECT ?d WHERE { ?d <urn:p:rel> ?o . FILTER(?o = <HTTP://EX.ORG/x>) }",
+    )
+    assert _vals(out, "d") == ["urn:doc:1"]
+
+
+def test_string_functions(df):
+    out = sparql.select(
+        df,
+        'SELECT ?d WHERE { ?d <urn:p:label> ?l . '
+        'FILTER(CONTAINS(UCASE(?l), "DOC") && STRLEN(?l) > 8) }',
+    )
+    assert _vals(out, "d") == ["urn:doc:1"]
+    out = sparql.select(
+        df,
+        'SELECT ?d WHERE { ?d <urn:p:label> ?l . FILTER(STRSTARTS(?l, "beta")) }',
+    )
+    assert _vals(out, "d") == ["urn:doc:2"]
+    out = sparql.select(
+        df,
+        'SELECT (CONCAT(SUBSTR(?l, 1, 5), "!") AS ?x) WHERE '
+        '{ <urn:doc:1> <urn:p:label> ?l }',
+    )
+    assert _vals(out, "x") == ["Alpha!"]
+    out = sparql.select(
+        df,
+        'SELECT (REPLACE(?l, "a", "_") AS ?x) WHERE '
+        "{ <urn:doc:3> <urn:p:label> ?l }",
+    )
+    assert _vals(out, "x") == ["g_mm_"]
+    out = sparql.select(
+        df,
+        'SELECT (STRBEFORE(?l, " ") AS ?b) (STRAFTER(?l, " ") AS ?a) '
+        "WHERE { <urn:doc:1> <urn:p:label> ?l }",
+    )
+    r = out.first()
+    assert (r["b"], r["a"]) == ("Alpha", "Doc")
+    # absent separator → ""
+    out = sparql.select(
+        df,
+        'SELECT (STRBEFORE(?l, "@") AS ?b) WHERE { <urn:doc:3> <urn:p:label> ?l }',
+    )
+    assert _vals(out, "b") == [""]
+
+
+def test_numeric_functions(df):
+    out = sparql.select(
+        df,
+        "SELECT (ABS(100 - ?n) AS ?x) (FLOOR(?n / 3) AS ?f) "
+        "WHERE { <urn:doc:2> <urn:p:nchars> ?n }",
+    )
+    r = out.first()
+    assert (r["x"], r["f"]) == (150.0, 83)
+
+
+def test_if_coalesce(df):
+    out = sparql.select(
+        df,
+        'SELECT ?d (IF(?n > 400, "big", "small") AS ?size) '
+        "WHERE { ?d <urn:p:nchars> ?n }",
+    )
+    rows = {(r["d"], r["size"]) for r in out.collect()}
+    assert rows == {
+        ("urn:doc:1", "small"), ("urn:doc:2", "small"),
+        ("urn:doc:3", "big"), ("urn:doc:4", "big"),
+    }
+
+
+def test_lang_and_langmatches(df):
+    out = sparql.select(
+        df,
+        'SELECT ?d WHERE { ?d <urn:p:label> ?l . FILTER(LANG(?l) = "en") }',
+    )
+    assert _vals(out, "d") == ["urn:doc:2"]
+    out = sparql.select(
+        df,
+        'SELECT ?d WHERE { ?d <urn:p:label> ?l . '
+        'FILTER(LANGMATCHES(LANG(?l), "en")) }',
+    )
+    assert _vals(out, "d") == ["urn:doc:2", "urn:doc:3"]
+    # plain literal → LANG = ""
+    out = sparql.select(
+        df,
+        'SELECT ?d WHERE { ?d <urn:p:label> ?l . FILTER(LANG(?l) = "") }',
+    )
+    assert _vals(out, "d") == ["urn:doc:1"]
+
+
+def test_datatype(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d WHERE { ?d ?p ?o . "
+        f"FILTER(DATATYPE(?o) = <{XSD_INT}>) }}",
+    )
+    assert _vals(out, "d") == ["urn:doc:1", "urn:doc:2", "urn:doc:3", "urn:doc:4"]
+
+
+def test_term_kind_functions(df):
+    out = sparql.select(
+        df, "SELECT ?o WHERE { ?d <urn:p:rel> ?o . FILTER(isIRI(?o)) }"
+    )
+    assert _vals(out, "o") == ["http://ex.org/x"]  # skolem is NOT an IRI here
+    out = sparql.select(
+        df, "SELECT ?o WHERE { ?d <urn:p:rel> ?o . FILTER(isBlank(?o)) }"
+    )
+    assert _vals(out, "o") == ["urn:skolem:abc123"]
+    out = sparql.select(
+        df,
+        "SELECT ?d WHERE { ?d <urn:p:label> ?l . FILTER(isLiteral(?l)) }",
+    )
+    assert len(_vals(out, "d")) == 4
+    # subject-position variables are IRIs by construction
+    out = sparql.select(
+        df,
+        "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . FILTER(isIRI(?d) && ?n = 100) }",
+    )
+    assert _vals(out, "d") == ["urn:doc:1"]
+
+
+def test_bound_with_optional(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . "
+        "OPTIONAL { ?d <urn:p:rel> ?r } FILTER(!BOUND(?r)) }",
+    )
+    assert _vals(out, "d") == ["urn:doc:3", "urn:doc:4"]
+
+
+def test_optional_group_all_or_nothing(df):
+    """VERDICT r2 #3: a 2-triple OPTIONAL block binds BOTH triples'
+    variables or NEITHER. doc2 matches only extra1 — the old
+    per-triple left join bound ?e1 for it; exact semantics leave both
+    ?e1 and ?e2 null."""
+    out = sparql.select(
+        df,
+        "SELECT ?d ?e1 ?e2 WHERE { ?d <urn:p:nchars> ?n . "
+        "OPTIONAL { ?d <urn:p:extra1> ?e1 . ?d <urn:p:extra2> ?e2 } }",
+    )
+    rows = {(r["d"], r["e1"], r["e2"]) for r in out.collect()}
+    assert rows == {
+        ("urn:doc:1", "e1", "e2"),
+        ("urn:doc:2", None, None),  # partial match must NOT bind ?e1
+        ("urn:doc:3", None, None),
+        ("urn:doc:4", None, None),
+    }
+
+
+def test_filter_inside_optional_raises(df):
+    with pytest.raises(sparql.SparqlError, match="FILTER inside OPTIONAL"):
+        sparql.select(
+            df,
+            "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . "
+            "OPTIONAL { ?d <urn:p:rel> ?r . FILTER(?n > 1) } }",
+        )
+
+
+def test_select_star_hides_meta_columns(df):
+    out = sparql.select(
+        df,
+        'SELECT * WHERE { ?d <urn:p:label> ?l . FILTER(LANG(?l) = "en") }',
+    )
+    assert set(out.columns) == {"d", "l"}
+
+
+def test_boolean_literal_comparison(df, spark):
+    flag = spark.createDataFrame(
+        [("urn:doc:1", "urn:p:flag", "true", "literal",
+          "http://www.w3.org/2001/XMLSchema#boolean", None, "g")],
+        SCHEMA,
+    )
+    out = sparql.select(
+        flag, "SELECT ?d WHERE { ?d <urn:p:flag> ?f . FILTER(?f = true) }"
+    )
+    assert _vals(out, "d") == ["urn:doc:1"]
+
+
+def test_regex_still_works_in_expressions(df):
+    out = sparql.select(
+        df,
+        'SELECT ?d WHERE { ?d <urn:p:label> ?l . '
+        'FILTER(REGEX(?l, "^al", "i") || REGEX(?l, "elta")) }',
+    )
+    assert _vals(out, "d") == ["urn:doc:1", "urn:doc:4"]
+
+
+def test_unbound_filter_variable_raises(df):
+    with pytest.raises(sparql.SparqlError, match="not bound"):
+        sparql.select(
+            df, "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . FILTER(?zzz > 1) }"
+        )
+
+
+def test_expressions_compile_to_catalyst(df):
+    """The whole expression layer stays JVM-side: no Python UDFs in
+    the plan (BatchEvalPython/ArrowEvalPython absent)."""
+    out = sparql.select(
+        df,
+        'SELECT ?d (IF(?n > 400, "big", CONCAT("s", STR(?n))) AS ?t) '
+        "WHERE { ?d <urn:p:nchars> ?n . "
+        "FILTER(STRLEN(STR(?n)) = 3 && ABS(?n - 1) > 0) }",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

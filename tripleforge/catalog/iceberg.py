@@ -56,6 +56,8 @@ class IcebergCatalog(Catalog):
             writer.overwritePartitions()
         else:
             writer.append()
+        if callable(lineage):  # deferred lineage (base.Catalog contract)
+            lineage = lineage()
         snap = (
             self.spark.sql(
                 f"SELECT snapshot_id FROM {self.table}.snapshots "

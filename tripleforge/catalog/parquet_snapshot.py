@@ -133,6 +133,11 @@ class ParquetSnapshotCatalog(Catalog):
             .mode("errorifexists")
             .parquet(data_path)
         )
+        # deferred lineage (base.Catalog contract): resolved only now,
+        # after the statement write, so df.observe() counters attached
+        # to the statement plan are available — one scan, not two
+        if callable(lineage):
+            lineage = lineage()
         # live paths are recorded at graph_bucket granularity so an
         # overwrite can replace only the buckets a mutation touched
         # (partition-scoped DELETE/compaction — the Iceberg twin's

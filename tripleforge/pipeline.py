@@ -74,6 +74,13 @@ def compact_links(
     rid = run_id or ("compact-" + _uuid.uuid4().hex)
     if catalog.latest_snapshot_id() is None:
         return BuildResult(0, rid, 0, 0)  # empty catalog → no-op
+    # idempotent re-run: an already-committed run_id returns its prior
+    # snapshot without recomputing the closure (and without arming the
+    # observe() counter, which only resolves when a write actually runs)
+    prior = catalog.read_lineage().where(F.col("run_id") == rid).limit(1).collect()
+    if prior:
+        r = prior[0]
+        return BuildResult(int(r["snapshot_id"]), rid, int(r["n_triples"]), 0)
     live = catalog.read_statements().select(
         "subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang", "graph",
         "src_repo", "src_path", "src_commit",
@@ -81,16 +88,26 @@ def compact_links(
     edges = link.candidate_edges(live, cfg.link_key_preds, cfg.max_block)
     mapping = link.connected_components(edges)
     rewritten = ops.dedup(link.rewrite(live, mapping))
-    n = rewritten.count()
-    lin = spark.createDataFrame(
-        [("compact", None, None, 0, n, 0, None)],
-        "parser string, repo string, commit string, n_files long, "
-        "n_triples long, n_errors long, checksum string",
-    ).withColumn("run_id", F.lit(rid)).withColumn(
-        "committed_at", F.current_timestamp()
-    )
+    # single-pass commit: the row count rides the snapshot write via
+    # observe(), so compaction reads the live store once (VERDICT r2)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    rewritten = rewritten.observe(obs, F.count(F.lit(1)).alias("n"))
+
+    from tripleforge.update import observed_count
+
+    def lin():
+        return spark.createDataFrame(
+            [("compact", None, None, 0, observed_count(obs), 0, None)],
+            "parser string, repo string, commit string, n_files long, "
+            "n_triples long, n_errors long, checksum string",
+        ).withColumn("run_id", F.lit(rid)).withColumn(
+            "committed_at", F.current_timestamp()
+        )
+
     sid = catalog.commit_snapshot(rewritten, lin, run_id=rid, operation="overwrite")
-    return BuildResult(sid, rid, n, 0)
+    return BuildResult(sid, rid, observed_count(obs), 0)
 
 
 def transform(
