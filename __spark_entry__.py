@@ -301,6 +301,21 @@ def q_kg_sparql_path(spark, sf):
     )
 
 
+def q_kg_sparql_minus(spark, sf):
+    """MINUS / anti-join semantics (A27 ext, r3): chain heads — docs
+    that receive a sameAs edge but emit none (the first doc of each
+    per-source chain) — counted via MINUS, which compiles to a
+    LeftAnti join."""
+    from tripleforge import sparql
+
+    stmts, _ = transform(_link_corpus(spark, sf), BuildConfig(link_entities=False))
+    return sparql.select(
+        stmts,
+        "SELECT (COUNT(*) AS ?n_heads) WHERE { ?a <" + OWL_SAMEAS + "> ?b . "
+        "MINUS { ?b <" + OWL_SAMEAS + "> ?c } }",
+    )
+
+
 def q_kg_sparql_closure(spark, sf):
     """Transitive closure path (A27 ext, r3): owl:sameAs+ over the
     per-source chain corpus — a k-doc chain closes to k(k-1)/2 ordered
@@ -830,6 +845,16 @@ def q_ann_lsh(spark, sf):
     )
 
 
+def q_ann_lsh_multiprobe(spark, sf):
+    """Multi-probe LSH (r3): each query also probes every single-bit-
+    flipped bucket — recall@5 ≥ 0.9 gated in pytest; the DuckDB oracle
+    reproduces the probe fan-out bit-for-bit."""
+    em = read_table(spark, sf, "embeddings")
+    return ann.cosine_topk_lsh(
+        em, em.where(F.col("vec_id") < 5), k=5, n_bits=8, dim=64, multiprobe=1
+    )
+
+
 def q_multimodal_meta(spark, sf):
     """Multimodal plumbing: binary payload + typed metadata through the
     Arrow feature-extraction kernel; metadata columns are oracle-checked
@@ -856,12 +881,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_expr": q_kg_sparql_expr,
         "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_closure": q_kg_sparql_closure,
+        "kg_sparql_minus": q_kg_sparql_minus,
         # omitted from the driver's r2 file by the 50-entry cap
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "multimodal_meta": q_multimodal_meta,
         # KG construction (SURVEY §2.A)
         "kg_flagship": q_kg_flagship,
@@ -905,10 +932,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "asof_join": q_asof_join,
         "grouped_udaf": q_grouped_udaf,
+        # rotation tail: value-verified by the driver in BOTH r1 and r2
+        # (CORRECTNESS_r01/r02); still pytest/check_oracles-covered.
+        # approx_distinct/sampling are rows-only by design (sketch/RNG)
+        # with exact pytest oracles (tests/test_rows_only_oracles.py)
         "approx_distinct": q_approx_distinct,
         "sampling": q_sampling,
-        # rotation tail: value-verified by the driver in BOTH r1 and r2
-        # (CORRECTNESS_r01/r02); still pytest/check_oracles-covered
         "unpivot": q_unpivot,
         "collect_set": q_collect_set,
         "ntile": q_ntile,
@@ -927,25 +956,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NORM_TOKS = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
 
-def _lsh_oracle_sql() -> str:
+def _lsh_oracle_sql(multiprobe: bool = False) -> str:
     from tripleforge.ann import hyperplanes
 
     planes = hyperplanes(64, 8, 42)
-    bits = " || ".join(
-        "(CASE WHEN list_dot_product(ev, ["
-        + ",".join(repr(x) for x in plane)
-        + "]) >= 0 THEN '1' ELSE '0' END)"
-        for plane in planes
-    )
+
+    def bits_expr(flip_j: int | None) -> str:
+        parts = []
+        for j, plane in enumerate(planes):
+            hi, lo = ("0", "1") if j == flip_j else ("1", "0")
+            parts.append(
+                "(CASE WHEN list_dot_product(ev, ["
+                + ",".join(repr(x) for x in plane)
+                + f"]) >= 0 THEN '{hi}' ELSE '{lo}' END)"
+            )
+        return " || ".join(parts)
+
+    if multiprobe:
+        probe_selects = " UNION ALL ".join(
+            f"SELECT vec_id AS qid, ev AS qv, {bits_expr(fj)} AS bucket "
+            "FROM c WHERE vec_id < 5"
+            for fj in [None, *range(len(planes))]
+        )
+        q_cte = f"q AS ( {probe_selects} )"
+    else:
+        q_cte = (
+            f"q AS ( SELECT vec_id AS qid, ev AS qv, {bits_expr(None)} AS bucket "
+            "FROM c WHERE vec_id < 5 )"
+        )
     return f"""
 WITH c AS (
   SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
 ), b AS (
-  SELECT vec_id, ev, {bits} AS bucket FROM c
-), q AS (
-  SELECT vec_id AS qid, ev AS qv, bucket FROM b WHERE vec_id < 5
-), j AS (
-  SELECT q.qid, b.vec_id AS nid,
+  SELECT vec_id, ev, {bits_expr(None)} AS bucket FROM c
+), {q_cte}, j AS (
+  SELECT DISTINCT q.qid, b.vec_id AS nid,
          list_dot_product(b.ev, q.qv) /
          (sqrt(list_dot_product(b.ev, b.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS s
   FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.qid
@@ -976,6 +1021,13 @@ def oracle_sql() -> dict[str, str]:
             -- a k-doc sameAs chain closes transitively to k(k-1)/2 pairs
             SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_pairs FROM (
               SELECT COUNT(*) AS c FROM documents GROUP BY source
+            )
+        """,
+        "kg_sparql_minus": """
+            -- one chain head per source that has >= 2 docs (the head
+            -- receives exactly one sameAs edge and emits none)
+            SELECT COUNT(*) AS n_heads FROM (
+              SELECT source FROM documents GROUP BY source HAVING COUNT(*) > 1
             )
         """,
         "kg_flagship": """
@@ -1370,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 5
         """,
         "ann_lsh": _lsh_oracle_sql(),
+        "ann_lsh_multiprobe": _lsh_oracle_sql(multiprobe=True),
         "multimodal_meta": """
             SELECT doc_id AS media_id,
                    ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,

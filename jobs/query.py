@@ -46,7 +46,16 @@ def main() -> int:
     ap.add_argument("--limit", type=int, default=100)
     ap.add_argument("--master", default=None)
     ap.add_argument("--run-id", default=None)
-    ap.add_argument("--out", default=None, help="write CONSTRUCT result as N-Triples")
+    ap.add_argument("--out", default=None, help="write the result to a file/dir")
+    ap.add_argument(
+        "--format",
+        default=None,
+        choices=["csv", "tsv", "json", "jsonl", "nt", "nq"],
+        help="result format for --out: W3C SPARQL Results CSV/TSV/JSON, "
+        "distributed JSONL bindings, or N-Triples/N-Quads for "
+        "statement-shaped (CONSTRUCT) results. Default: nt for "
+        "CONSTRUCT, tsv for SELECT",
+    )
     args = ap.parse_args()
 
     from tripleforge import sparql as sparql_mod
@@ -69,11 +78,13 @@ def main() -> int:
     if args.sparql or args.sparql_file:
         text = args.sparql or open(args.sparql_file).read()
         result = sparql_mod.query(stmts, text, n_buckets=catalog.n_buckets)
-        if args.out:  # CONSTRUCT-to-file (the reference's Rio writer path)
-            from tripleforge.io import write_ntriples
+        if args.out:
+            from tripleforge.results import write_results
 
-            write_ntriples(result, args.out)
-            print({"written": args.out})
+            is_construct = "subj" in result.columns and "pred" in result.columns
+            fmt = args.format or ("nt" if is_construct else "tsv")
+            write_results(result, args.out, fmt, limit=args.limit)
+            print({"written": args.out, "format": fmt})
             spark.stop()
             return 0
     elif args.pattern:
@@ -93,7 +104,14 @@ def main() -> int:
         ap.error("need --pattern, --bgp, --sparql/--sparql-file, or --update")
         return 2
 
-    result.show(args.limit, truncate=False)
+    if args.out:
+        from tripleforge.results import write_results
+
+        fmt = args.format or "tsv"
+        write_results(result, args.out, fmt, limit=args.limit)
+        print({"written": args.out, "format": fmt})
+    else:
+        result.show(args.limit, truncate=False)
     spark.stop()
     return 0
 

@@ -252,3 +252,30 @@ def test_posting_cache_released_after_use(spark):
     assert len(sc._jsc.getPersistentRDDs()) <= base, (
         "posting-list blocks survived garbage collection"
     )
+
+
+def test_multiprobe_lsh_recall_gate(spark):
+    """VERDICT r2 #8: recall@5 of multi-probe LSH vs the exact
+    brute-force oracle must be >= 0.9. The fixture is CLUSTERED
+    embeddings (deterministic centers + small noise) — the shape real
+    embedding models produce and the regime LSH is built for; on
+    isotropic uniform noise (the sf testdata embeddings) hyperplane LSH
+    recall is near zero by construction for every index, documented in
+    SCALE.md §ANN."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(20, 64) * 3
+    rows = [
+        (i, [float(x) for x in centers[i % 20] + rng.randn(64) * 0.3])
+        for i in range(400)
+    ]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = em.where(F.col("vec_id") < 10)
+    exact = ann.cosine_topk(em, q, k=5)
+    multi = ann.cosine_topk_lsh(em, q, k=5, n_bits=8, dim=64, multiprobe=1)
+    single = ann.cosine_topk_lsh(em, q, k=5, n_bits=8, dim=64)
+    r_multi = ann.recall_at_k(multi, exact, k=5)
+    r_single = ann.recall_at_k(single, exact, k=5)
+    assert r_multi >= 0.9, f"multi-probe recall@5 {r_multi} < 0.9"
+    assert r_multi >= r_single  # fan-out can only add candidates

@@ -130,15 +130,39 @@ def hyperplanes(dim: int, n_bits: int = 8, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit string of the projections onto each hyperplane."""
-    bits = [
+def _bucket_bits(vec_col: Column, planes: list[list[float]]) -> list[Column]:
+    return [
         F.when(
             dot(vec_col, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1")
         ).otherwise(F.lit("0"))
         for plane in planes
     ]
-    return F.concat(*bits)
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit string of the projections onto each hyperplane."""
+    return F.concat(*_bucket_bits(vec_col, planes))
+
+
+def lsh_probe_buckets(
+    vec_col: Column, planes: list[list[float]], multiprobe: int = 0
+) -> Column:
+    """Array of probe buckets: the vector's own bucket plus, with
+    ``multiprobe=1``, every single-bit-flipped neighbor bucket — the
+    standard multi-probe LSH recall boost (query-side fan-out of
+    n_bits+1 probes; the corpus is hashed ONCE, so cost grows only on
+    the small broadcast side)."""
+    bits = _bucket_bits(vec_col, planes)
+    flip = {"1": F.lit("0"), "0": F.lit("1")}
+    probes = [F.concat(*bits)]
+    if multiprobe >= 1:
+        for j in range(len(bits)):
+            flipped = list(bits)
+            flipped[j] = F.when(bits[j] == "1", flip["1"]).otherwise(flip["0"])
+            probes.append(F.concat(*flipped))
+    if multiprobe >= 2:
+        raise ValueError("only multiprobe ∈ {0, 1} is implemented")
+    return F.array(*probes)
 
 
 def cosine_topk_lsh(
@@ -150,11 +174,16 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket; exact
-    cosine rerank within the bucket. At corpus scale the bucket join is
-    an equi-join on the bit-string (2^n_bits buckets → n_bits tunes the
-    recall/cost trade).
+    """Approximate top-k: candidates share one of the query's LSH probe
+    buckets; exact cosine rerank within the candidates. At corpus scale
+    the bucket join is an equi-join on the bit-string (2^n_bits buckets
+    → n_bits tunes the recall/cost trade). ``multiprobe=1`` additionally
+    probes every single-bit-flipped bucket of each query (n_bits+1
+    probes) — recall rises sharply while the corpus side is still
+    hashed and scanned exactly once (only the broadcast query side
+    fans out; see SCALE.md §ANN for the measured recall/cost table).
 
     ``dim`` (the embedding dimensionality) should be passed by callers
     who know it — probing it with ``first()`` launches an extra Spark
@@ -171,9 +200,15 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.explode(
+            lsh_probe_buckets(F.col(vec_col), planes, multiprobe)
+        ).alias("bucket"),
     )
     joined = c.join(F.broadcast(q), "bucket").where(F.col("nid") != F.col("qid"))
+    if multiprobe:
+        # a neighbor can match several probes of one query — rerank each
+        # candidate pair once
+        joined = joined.dropDuplicates(["qid", "nid"])
     sim = cosine(F.col("nvec"), F.col("qvec"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
@@ -182,3 +217,13 @@ def cosine_topk_lsh(
         .where(F.col("rnk") <= k)
         .select("qid", "nid", F.round("sim", 6).alias("sim"), "rnk")
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 5) -> float:
+    """recall@k of an approximate top-k result against the exact one:
+    |approx ∩ exact| / |exact| over (qid, nid) pairs ranked ≤ k."""
+    a = approx.where(F.col("rnk") <= k).select("qid", "nid")
+    e = exact.where(F.col("rnk") <= k).select("qid", "nid")
+    hit = a.join(e, ["qid", "nid"], "left_semi").count()
+    total = e.count()
+    return hit / total if total else 1.0

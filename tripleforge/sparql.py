@@ -5,11 +5,13 @@ CLI over RDF4J); this module closes that UX gap by parsing the
 high-frequency subset onto the engine's existing programmatic surface:
 
 - ``SELECT [DISTINCT] ?v…|*|aggregates|(expr AS ?v) WHERE { triple
-  patterns [GRAPH g {…}] [OPTIONAL {…}] [FILTER expr] [BIND(expr AS ?v)]
-  [VALUES ?v {…}] [{…} UNION {…}] } [GROUP BY] [ORDER BY] [OFFSET]
-  [LIMIT]`` →  :func:`tripleforge.query.bgp` (each OPTIONAL block
-  left-joins as a UNIT — exact SPARQL group semantics; UNION arms
-  union with null-padded variables)
+  patterns [GRAPH g {…}] [OPTIONAL {…}] [MINUS {…}]
+  [FILTER expr | FILTER [NOT] EXISTS {…}] [BIND(expr AS ?v)]
+  [VALUES ?v {…}] [{…} UNION {…}] } [GROUP BY] [HAVING(expr)]
+  [ORDER BY] [OFFSET] [LIMIT]`` → :func:`tripleforge.query.bgp`
+  (each OPTIONAL block left-joins as a UNIT — exact SPARQL group
+  semantics; MINUS/NOT EXISTS/EXISTS compile to anti/semi joins;
+  UNION arms union with null-padded variables)
 - ``CONSTRUCT { template } WHERE { … }`` → typed statement output
 - ``ASK { … }`` → one boolean row
 - FILTER/BIND expressions (SPARQL 1.1 §17): boolean algebra
@@ -166,9 +168,19 @@ class _Cursor:
         raise SparqlError(f"bad {position} term {val!r}")
 
 
-def _apply_ops(sol: DataFrame, ops: list[tuple]) -> DataFrame:
-    """Apply FILTER / BIND / VALUES operations in textual order (BIND
-    is positional per SPARQL §10.1: later ops see its variable)."""
+def _apply_ops(
+    sol: DataFrame,
+    ops: list[tuple],
+    statements: DataFrame | None = None,
+    allow_cartesian: bool = False,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Apply FILTER / BIND / VALUES / MINUS / [NOT] EXISTS operations
+    in textual order (BIND is positional per SPARQL §10.1: later ops
+    see its variable). MINUS and (NOT) EXISTS compile to anti/semi
+    joins of the solution against the sub-BGP on shared variables —
+    the shapes Catalyst executes as broadcast/shuffled anti and semi
+    hash joins."""
     for op in ops:
         if op[0] == "bind":
             _, var, tree = op
@@ -176,6 +188,30 @@ def _apply_ops(sol: DataFrame, ops: list[tuple]) -> DataFrame:
                 raise SparqlError(f"BIND target ?{var} is already bound")
             col, _ = _compile_expr(tree, set(sol.columns))
             sol = sol.withColumn(var, col)
+        elif op[0] in ("minus", "exists"):
+            if statements is None:
+                raise SparqlError(f"{op[0].upper()} is not available here")
+            block = op[1]
+            sub = bgp(
+                statements, block, allow_cartesian=allow_cartesian,
+                n_buckets=n_buckets,
+            )
+            shared = [v for v in sub.columns if v in sol.columns]
+            if op[0] == "minus":
+                # SPARQL §8.3: solutions sharing NO variable with the
+                # MINUS side are kept (disjoint-domain MINUS is a no-op)
+                if shared:
+                    sol = sol.join(
+                        sub.select(*shared).dropDuplicates(), shared, "left_anti"
+                    )
+            else:
+                positive = op[2]
+                if not shared:
+                    raise SparqlError(
+                        "EXISTS block shares no variable with the group"
+                    )
+                how = "left_semi" if positive else "left_anti"
+                sol = sol.join(sub.select(*shared).dropDuplicates(), shared, how)
         else:
             sol = sol.where(_compile_filter(op, set(sol.columns)))
     return sol
@@ -283,7 +319,12 @@ def _solutions(
             carry_meta=meta, n_buckets=n_buckets,
             optional_groups=optional_blocks,
         )
-        sols.append(_apply_ops(sol, ops))
+        sols.append(
+            _apply_ops(
+                sol, ops, statements=statements,
+                allow_cartesian=allow_cartesian, n_buckets=n_buckets,
+            )
+        )
     out = sols[0]
     for sol in sols[1:]:
         out = out.unionByName(sol, allowMissingColumns=True)
@@ -885,8 +926,17 @@ def _parse_group_pattern(
         ops: list[tuple] = []
         optional_blocks: list[list[Pattern]] = []
 
+        def sub_block(graph_term: str | None, kind: str) -> list[Pattern]:
+            if c.next() != ("PUNCT", "{"):
+                raise SparqlError(f"expected '{{' after {kind}")
+            block: list[Pattern] = []
+            triples_until_close(graph_term, block, sub=kind)
+            if not block:
+                raise SparqlError(f"empty {kind} block")
+            return block
+
         def triples_until_close(
-            graph_term: str | None, sink: list[Pattern], optional: bool = False
+            graph_term: str | None, sink: list[Pattern], sub: str | None = None
         ) -> None:
             while True:
                 t = c.peek()
@@ -901,8 +951,8 @@ def _parse_group_pattern(
                 if t[0] == "GRAPHKW" or _kw(t, "GRAPH"):
                     if graph_term is not None:
                         raise SparqlError("nested GRAPH patterns are not supported")
-                    if optional:
-                        raise SparqlError("GRAPH inside OPTIONAL is not supported")
+                    if sub:
+                        raise SparqlError(f"GRAPH inside {sub} is not supported")
                     c.next()
                     g = c.pattern_term("graph")
                     if c.next() != ("PUNCT", "{"):
@@ -910,26 +960,39 @@ def _parse_group_pattern(
                     triples_until_close(g, sink)
                     continue
                 if _kw(t, "OPTIONAL"):
-                    if optional:
-                        raise SparqlError("nested OPTIONAL is not supported")
+                    if sub:
+                        raise SparqlError(f"OPTIONAL inside {sub} is not supported")
                     c.next()
-                    if c.next() != ("PUNCT", "{"):
-                        raise SparqlError("expected '{' after OPTIONAL")
-                    block: list[Pattern] = []
-                    triples_until_close(graph_term, block, optional=True)
-                    if not block:
-                        raise SparqlError("empty OPTIONAL block")
-                    optional_blocks.append(block)
+                    optional_blocks.append(sub_block(graph_term, "OPTIONAL"))
+                    continue
+                if _kw(t, "MINUS"):
+                    if sub:
+                        raise SparqlError(f"MINUS inside {sub} is not supported")
+                    c.next()
+                    ops.append(("minus", sub_block(graph_term, "MINUS")))
                     continue
                 if _kw(t, "FILTER"):
-                    if optional:
-                        raise SparqlError("FILTER inside OPTIONAL is not supported")
+                    if sub:
+                        raise SparqlError(f"FILTER inside {sub} is not supported")
                     c.next()
+                    # FILTER [NOT] EXISTS { … } is a join, not an
+                    # expression — dispatched to semi/anti ops
+                    nt = c.peek()
+                    if _kw(nt, "EXISTS"):
+                        c.next()
+                        ops.append(("exists", sub_block(graph_term, "EXISTS"), True))
+                        continue
+                    if _kw(nt, "NOT"):
+                        c.next()
+                        if not _kw(c.next(), "EXISTS"):
+                            raise SparqlError("expected EXISTS after NOT")
+                        ops.append(("exists", sub_block(graph_term, "NOT EXISTS"), False))
+                        continue
                     ops.append(("expr", _parse_constraint(c)))
                     continue
                 if _kw(t, "BIND"):
-                    if optional:
-                        raise SparqlError("BIND inside OPTIONAL is not supported")
+                    if sub:
+                        raise SparqlError(f"BIND inside {sub} is not supported")
                     c.next()
                     if c.next() != ("PUNCT", "("):
                         raise SparqlError("expected '(' after BIND")
@@ -992,7 +1055,10 @@ def _parse_group_pattern(
 def _parse_modifiers(c: _Cursor) -> dict:
     """Solution modifiers after the group pattern: GROUP BY ?v…,
     ORDER BY [ASC|DESC](?v)…, OFFSET n, LIMIT n — consumes to end."""
-    mods: dict = {"group_by": [], "order_by": [], "offset": None, "limit": None}
+    mods: dict = {
+        "group_by": [], "order_by": [], "offset": None, "limit": None,
+        "having": None,
+    }
     if _kw(c.peek(), "GROUP"):
         c.next()
         if not _kw(c.next(), "BY"):
@@ -1001,6 +1067,9 @@ def _parse_modifiers(c: _Cursor) -> dict:
             mods["group_by"].append(c.next()[1][1:])
         if not mods["group_by"]:
             raise SparqlError("GROUP BY needs at least one variable")
+    if _kw(c.peek(), "HAVING"):
+        c.next()
+        mods["having"] = _parse_constraint(c)
     if _kw(c.peek(), "ORDER"):
         c.next()
         if not _kw(c.next(), "BY"):
@@ -1095,6 +1164,8 @@ def select(
     ]
     if missing:
         raise SparqlError(f"projected variables not bound: {missing}")
+    if mods["having"] is not None and not (aggs or mods["group_by"]):
+        raise SparqlError("HAVING requires GROUP BY / aggregates")
     if aggs or mods["group_by"]:
         if exprprojs:
             raise SparqlError(
@@ -1114,6 +1185,10 @@ def select(
         if not agg_exprs:
             raise SparqlError("GROUP BY without any aggregate projection")
         out = out.groupBy(*group).agg(*agg_exprs) if group else out.agg(*agg_exprs)
+        if mods["having"] is not None:
+            # HAVING sees the aggregate aliases as bound variables
+            col, typ = _compile_expr(mods["having"], set(out.columns))
+            out = out.where(_as_bool(col, typ))
         # project in the user's order
         names = [it[1] if it[0] == "var" else it[4] for it in projected]
         out = out.select(*names)
@@ -1713,7 +1788,10 @@ def execute_update(
             n_buckets=getattr(catalog, "n_buckets", None),
             optional_groups=opt_blocks,
         )
-        sol = _apply_ops(sol, ops)
+        sol = _apply_ops(
+            sol, ops, statements=catalog.read_statements(),
+            n_buckets=getattr(catalog, "n_buckets", None),
+        )
         deletes = (
             canonicalize(_instantiate(sol, delete_tmpl, with_graph))
             if delete_tmpl
