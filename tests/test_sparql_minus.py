@@ -111,3 +111,35 @@ def test_minus_combined_with_expressions(df):
         "MINUS { ?d <urn:p:flag> ?f } }",
     )
     assert _ds(out) == ["urn:d2"]
+
+
+def test_describe_iri(spark, df):
+    out = sparql.describe(df, "DESCRIBE <urn:d1>")
+    assert {(r["subj"], r["pred"]) for r in out.collect()} == {
+        ("urn:d1", "urn:p:a"), ("urn:d1", "urn:p:flag"), ("urn:d1", "urn:p:tag"),
+    }
+
+
+def test_describe_var_with_where(spark, df):
+    out = sparql.describe(
+        df, "DESCRIBE ?d WHERE { ?d <urn:p:flag> ?f }"
+    )
+    subjects = {r["subj"] for r in out.collect()}
+    assert subjects == {"urn:d1", "urn:d3"}
+
+
+def test_describe_includes_object_position(spark):
+    rows = [
+        ("urn:a", "urn:p:rel", "urn:target", "iri", None, None, "g"),
+        ("urn:target", "urn:p:x", "1", "literal", None, None, "g"),
+        ("urn:other", "urn:p:y", "2", "literal", None, None, "g"),
+    ]
+    df2 = spark.createDataFrame(rows, SCHEMA)
+    out = sparql.describe(df2, "DESCRIBE <urn:target>")
+    got = {(r["subj"], r["obj"]) for r in out.collect()}
+    assert got == {("urn:a", "urn:target"), ("urn:target", "1")}
+
+
+def test_describe_via_query_dispatch(spark, df):
+    out = sparql.query(df, "DESCRIBE <urn:d2>")
+    assert "subj" in out.columns and out.count() == 2

@@ -179,6 +179,53 @@ def main() -> int:
         ],
     )
 
+    # 8 (r3). SPARQL expression layer compiles to pure Catalyst columns
+    audit(
+        "sparql_expressions_jvm_only",
+        em.q_kg_sparql_expr(spark, SF),
+        [
+            # exactly the parse kernel's ONE Python stage; expressions
+            # themselves must not add any EvalPython node
+            ("no row/Arrow eval nodes beyond the parser", r"EvalPython|MapInPandas", False),
+            ("predicate filter present", r"\(\d+\) Filter", True),
+        ],
+    )
+    # 9 (r3). FILTER [NOT] EXISTS / MINUS compile to semi/anti hash joins
+    from tripleforge import sparql as sparql_mod
+
+    kg = em._kg_statements(spark, SF)
+    exists_df = sparql_mod.select(
+        kg,
+        "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . "
+        "FILTER EXISTS { ?d <urn:p:type> <urn:t:Doc> } }",
+    )
+    minus_df = sparql_mod.select(
+        kg,
+        "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . "
+        "MINUS { ?d <urn:p:type> <urn:t:Doc> } }",
+    )
+    audit("sparql_exists_semi_join", exists_df, [("LeftSemi join", r"LeftSemi", True)])
+    audit("sparql_minus_anti_join", minus_df, [("LeftAnti join", r"LeftAnti", True)])
+    # 10 (r3). property-path sequence = pure joins (no Python, no
+    # cartesian); closure handled separately (iterative, plan-per-round)
+    path_df = sparql_mod.select(
+        kg, "SELECT ?src ?n WHERE { ?src ^<urn:p:source>/<urn:p:nchars> ?n }"
+    )
+    audit(
+        "sparql_path_sequence",
+        path_df,
+        [
+            ("equi-join (hash or sort-merge)", r"HashJoin|SortMergeJoin", True),
+            ("no cartesian product", r"CartesianProduct", False),
+        ],
+    )
+    # 11 (r3). DESCRIBE: resource set broadcast, store only semi-joined
+    audit(
+        "describe_broadcast_semi",
+        sparql_mod.describe(kg, "DESCRIBE <urn:doc:1>"),
+        [("broadcast left-semi", r"BroadcastHashJoin.*LeftSemi", True)],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("# PLANS — physical-plan audit (generated by tools/audit_plans.py)\n\n")
         fh.write("Structural assertions over `.explain('formatted')` output for the\n")

@@ -1254,6 +1254,78 @@ def ask(
     return sol.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
 
 
+def describe(
+    statements: DataFrame,
+    text: str,
+    allow_cartesian: bool = False,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """SPARQL DESCRIBE (§16.4): every statement whose subject — or IRI
+    object — is one of the described resources, as a statement-shaped
+    DataFrame. Resources come from explicit IRIs and/or the bindings of
+    DESCRIBE'd variables in the WHERE clause (RDF4J's default
+    subject+object description, the reference's behavior). The resource
+    set is a small DataFrame broadcast into two semi-joins — the store
+    is scanned, never collected."""
+    from pyspark.sql import functions as F
+
+    c = _Cursor(_tokenize(text))
+    c.prologue()
+    if not _kw(c.peek(), "DESCRIBE"):
+        raise SparqlError("expected DESCRIBE")
+    c.next()
+    iris: list[str] = []
+    dvars: list[str] = []
+    while True:
+        t = c.peek()
+        if t is None or _kw(t, "WHERE"):
+            break
+        if t[0] == "VAR":
+            dvars.append(c.next()[1][1:])
+            continue
+        if t[0] == "STAR":
+            raise SparqlError("DESCRIBE * is not supported — name the terms")
+        term = c.pattern_term("DESCRIBE")
+        iris.append(term)
+    if not iris and not dvars:
+        raise SparqlError("DESCRIBE needs at least one IRI or variable")
+    spark = statements.sparkSession
+    parts: list[DataFrame] = []
+    if iris:
+        parts.append(spark.createDataFrame([(i,) for i in iris], "r string"))
+    if dvars:
+        if c.peek() is None:
+            raise SparqlError("DESCRIBE ?var needs a WHERE clause")
+        groups = _parse_group_pattern(c)
+        _parse_modifiers(c)
+        sol = _solutions(
+            statements, groups, allow_cartesian=allow_cartesian,
+            n_buckets=n_buckets,
+        )
+        missing = [v for v in dvars if v not in sol.columns]
+        if missing:
+            raise SparqlError(f"DESCRIBE variables not bound: {missing}")
+        for v in dvars:
+            parts.append(sol.select(F.col(v).alias("r")))
+    elif c.peek() is not None:
+        raise SparqlError(f"trailing tokens after DESCRIBE: {c.peek()!r}")
+    resources = parts[0]
+    for p in parts[1:]:
+        resources = resources.unionByName(p)
+    resources = resources.where(F.col("r").isNotNull()).dropDuplicates()
+    cols = [
+        f for f in ("subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang", "graph")
+        if f in statements.columns
+    ]
+    by_subj = statements.join(
+        F.broadcast(resources), statements["subj"] == resources["r"], "left_semi"
+    )
+    by_obj = statements.where(F.col("obj_kind") == "iri").join(
+        F.broadcast(resources), statements["obj"] == resources["r"], "left_semi"
+    )
+    return by_subj.select(*cols).unionByName(by_obj.select(*cols)).dropDuplicates()
+
+
 def query(
     statements: DataFrame,
     text: str,
@@ -1261,8 +1333,9 @@ def query(
     n_buckets: int | None = None,
 ) -> DataFrame:
     """Dispatch a SPARQL query string: SELECT → bindings table,
-    CONSTRUCT → statement-shaped DataFrame. Pass the catalog's
-    ``n_buckets`` so bound-graph patterns partition-prune."""
+    CONSTRUCT/DESCRIBE → statement-shaped DataFrame, ASK → boolean.
+    Pass the catalog's ``n_buckets`` so bound-graph patterns
+    partition-prune."""
     c = _Cursor(_tokenize(text))
     c.prologue()
     if _kw(c.peek(), "SELECT"):
@@ -1271,7 +1344,11 @@ def query(
         return construct(statements, text, allow_cartesian=allow_cartesian, n_buckets=n_buckets)
     if _kw(c.peek(), "ASK"):
         return ask(statements, text, allow_cartesian=allow_cartesian, n_buckets=n_buckets)
-    raise SparqlError("only SELECT, CONSTRUCT, and ASK query forms are supported")
+    if _kw(c.peek(), "DESCRIBE"):
+        return describe(statements, text, allow_cartesian=allow_cartesian, n_buckets=n_buckets)
+    raise SparqlError(
+        "only SELECT, CONSTRUCT, ASK, and DESCRIBE query forms are supported"
+    )
 
 
 # ---------------------------------------------------------------------------
