@@ -199,8 +199,10 @@ def test_query_dispatcher(stmts):
     assert "subj" in sparql.query(
         stmts, "CONSTRUCT { ?d <urn:p> ?n } WHERE { ?d <urn:p:nchars> ?n }"
     ).columns
+    # DESCRIBE is supported since r3 (statement-shaped output)
+    assert "subj" in sparql.query(stmts, "DESCRIBE <urn:d1>").columns
     with pytest.raises(sparql.SparqlError):
-        sparql.query(stmts, "DESCRIBE <urn:d1>")
+        sparql.query(stmts, "EXPLAIN SELECT ?d WHERE { ?d ?p ?o }")
 
 
 def test_filter_comparison_and_regex(stmts):

@@ -315,3 +315,57 @@ def test_expressions_compile_to_catalyst(df):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_var_vs_var_numeric_comparison(spark):
+    """Datatype-aware ordering: two numeric-typed literals compare by
+    VALUE (9 < 10), not lexically ("9" > "10"); IRI/string pairs still
+    compare by canonical lexical."""
+    rows = [
+        ("urn:x", "urn:p:a", "9", "literal", XSD_INT, None, "g"),
+        ("urn:x", "urn:p:b", "10", "literal", XSD_INT, None, "g"),
+        ("urn:y", "urn:p:a", "20", "literal", XSD_INT, None, "g"),
+        ("urn:y", "urn:p:b", "3", "literal", XSD_INT, None, "g"),
+        # string-typed pair: lexical order applies
+        ("urn:z", "urn:p:a", "apple", "literal", XSD_STR, None, "g"),
+        ("urn:z", "urn:p:b", "banana", "literal", XSD_STR, None, "g"),
+    ]
+    df2 = spark.createDataFrame(rows, SCHEMA)
+    out = sparql.select(
+        df2,
+        "SELECT ?s WHERE { ?s <urn:p:a> ?a . ?s <urn:p:b> ?b . FILTER(?a < ?b) }",
+    )
+    assert _vals(out, "s") == ["urn:x", "urn:z"]
+
+
+def test_sample_and_group_concat(spark):
+    rows = [
+        ("urn:d1", "urn:p:tag", "b", "literal", XSD_STR, None, "g"),
+        ("urn:d1", "urn:p:tag", "a", "literal", XSD_STR, None, "g"),
+        ("urn:d1", "urn:p:tag", "c", "literal", XSD_STR, None, "g"),
+        ("urn:d2", "urn:p:tag", "z", "literal", XSD_STR, None, "g"),
+    ]
+    df2 = spark.createDataFrame(rows, SCHEMA)
+    out = sparql.select(
+        df2,
+        'SELECT ?d (GROUP_CONCAT(?t; SEPARATOR=",") AS ?tags) '
+        "(SAMPLE(?t) AS ?one) WHERE { ?d <urn:p:tag> ?t } "
+        "GROUP BY ?d ORDER BY ?d",
+    )
+    rows_out = [(r["d"], r["tags"], r["one"]) for r in out.collect()]
+    assert rows_out == [("urn:d1", "a,b,c", "a"), ("urn:d2", "z", "z")]
+
+
+def test_group_concat_distinct(spark):
+    rows = [
+        ("urn:d1", "urn:p:tag", "a", "literal", XSD_STR, None, "g"),
+        ("urn:d1", "urn:p:tag", "a", "literal", XSD_STR, None, "g2"),
+        ("urn:d1", "urn:p:tag", "b", "literal", XSD_STR, None, "g"),
+    ]
+    df2 = spark.createDataFrame(rows, SCHEMA)
+    out = sparql.select(
+        df2,
+        'SELECT ?d (GROUP_CONCAT(DISTINCT ?t; SEPARATOR="|") AS ?tags) '
+        "WHERE { ?d <urn:p:tag> ?t } GROUP BY ?d",
+    )
+    assert out.first()["tags"] == "a|b"

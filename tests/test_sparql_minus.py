@@ -143,3 +143,53 @@ def test_describe_includes_object_position(spark):
 def test_describe_via_query_dispatch(spark, df):
     out = sparql.query(df, "DESCRIBE <urn:d2>")
     assert "subj" in out.columns and out.count() == 2
+
+
+def test_subquery_joined_with_outer_pattern(spark, df):
+    """SPARQL 1.1 §12: { SELECT … } evaluates independently and joins
+    the outer group on its projected variables."""
+    out = sparql.select(
+        df,
+        """
+        SELECT ?d ?v ?n WHERE {
+          ?d <urn:p:a> ?v .
+          { SELECT ?d (COUNT(*) AS ?n) WHERE { ?d <urn:p:tag> ?t } GROUP BY ?d }
+        }
+        """,
+    )
+    rows = {(r["d"], r["v"], r["n"]) for r in out.collect()}
+    assert rows == {("urn:d1", "x", 2), ("urn:d2", "y", 1)}
+
+
+def test_subquery_alone_in_where(spark, df):
+    out = sparql.select(
+        df,
+        "SELECT ?d ?n WHERE { { SELECT ?d (COUNT(*) AS ?n) "
+        "WHERE { ?d <urn:p:tag> ?t } GROUP BY ?d } } ORDER BY ?d",
+    )
+    assert [(r["d"], r["n"]) for r in out.collect()] == [
+        ("urn:d1", 2), ("urn:d2", 1),
+    ]
+
+
+def test_subquery_with_limit_inside(spark, df):
+    """Modifiers inside the subquery apply BEFORE the outer join."""
+    out = sparql.select(
+        df,
+        """
+        SELECT ?d ?v WHERE {
+          ?d <urn:p:a> ?v .
+          { SELECT ?d WHERE { ?d <urn:p:tag> ?t } ORDER BY ?d LIMIT 1 }
+        }
+        """,
+    )
+    assert {(r["d"], r["v"]) for r in out.collect()} == {("urn:d1", "x")}
+
+
+def test_subquery_disjoint_raises(spark, df):
+    with pytest.raises(sparql.SparqlError, match="cross product"):
+        sparql.select(
+            df,
+            "SELECT ?d WHERE { ?d <urn:p:a> ?v . "
+            "{ SELECT ?x WHERE { ?x <urn:p:tag> ?t } } }",
+        )

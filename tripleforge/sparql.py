@@ -188,6 +188,26 @@ def _apply_ops(
                 raise SparqlError(f"BIND target ?{var} is already bound")
             col, _ = _compile_expr(tree, set(sol.columns))
             sol = sol.withColumn(var, col)
+        elif op[0] == "subquery":
+            if statements is None:
+                raise SparqlError("subqueries are not available here")
+            sub = _compile_select(
+                statements, op[1], allow_cartesian=allow_cartesian,
+                n_buckets=n_buckets,
+            )
+            if sol is None:
+                sol = sub
+                continue
+            shared = [v for v in sub.columns if v in sol.columns]
+            if shared:
+                sol = sol.join(sub, shared, "inner")
+            elif allow_cartesian:
+                sol = sol.crossJoin(sub)
+            else:
+                raise SparqlError(
+                    "subquery shares no variable with the group — the "
+                    "result is a cross product; pass allow_cartesian=True"
+                )
         elif op[0] in ("minus", "exists"):
             if statements is None:
                 raise SparqlError(f"{op[0].upper()} is not available here")
@@ -314,11 +334,16 @@ def _solutions(
     sols = []
     for patterns, ops, optional_blocks in groups:
         meta = carry_meta or _ops_need_meta(ops)
-        sol = bgp(
-            statements, patterns, allow_cartesian=allow_cartesian,
-            carry_meta=meta, n_buckets=n_buckets,
-            optional_groups=optional_blocks,
-        )
+        if not patterns and ops and ops[0][0] == "subquery":
+            # group consists of a subquery (± trailing ops): the
+            # subquery's projection seeds the solution (sol=None)
+            sol = None
+        else:
+            sol = bgp(
+                statements, patterns, allow_cartesian=allow_cartesian,
+                carry_meta=meta, n_buckets=n_buckets,
+                optional_groups=optional_blocks,
+            )
         sols.append(
             _apply_ops(
                 sol, ops, statements=statements,
@@ -331,12 +356,12 @@ def _solutions(
     return out
 
 
-_AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX")
+_AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
 
 
 def _parse_agg_projection(c: _Cursor) -> tuple:
-    """'(' AGG '(' [DISTINCT] ?v|* ')' AS ?alias ')' →
-    ("agg", fn, arg ('*' or var name), distinct, alias)."""
+    """'(' AGG '(' [DISTINCT] ?v|* [; SEPARATOR="s"] ')' AS ?alias ')' →
+    ("agg", fn, arg ('*' or var name), distinct, alias, separator)."""
     c.next()  # '('
     t = c.next()
     fn = t[1].upper()
@@ -357,6 +382,19 @@ def _parse_agg_projection(c: _Cursor) -> tuple:
         arg = t[1][1:]
     else:
         raise SparqlError(f"bad aggregate argument {t[1]!r}")
+    sep = " "
+    if c.peek() == ("PUNCT", ";"):
+        if fn != "GROUP_CONCAT":
+            raise SparqlError("only GROUP_CONCAT takes a SEPARATOR")
+        c.next()
+        if not _kw(c.next(), "SEPARATOR"):
+            raise SparqlError("expected SEPARATOR after ';'")
+        if c.next() != ("OP", "="):
+            raise SparqlError("expected = after SEPARATOR")
+        k, v = c.next()
+        if k not in ("DQ", "SQ"):
+            raise SparqlError("SEPARATOR must be a string literal")
+        sep = v[1:-1]
     if c.next() != ("PUNCT", ")"):
         raise SparqlError(f"unterminated {fn}(...)")
     if not _kw(c.next(), "AS"):
@@ -366,7 +404,7 @@ def _parse_agg_projection(c: _Cursor) -> tuple:
         raise SparqlError("AS needs a variable alias")
     if c.next() != ("PUNCT", ")"):
         raise SparqlError("unterminated aggregate projection")
-    return ("agg", fn, arg, distinct, t[1][1:])
+    return ("agg", fn, arg, distinct, t[1][1:], sep)
 
 
 def parse_select(
@@ -381,6 +419,12 @@ def parse_select(
     """
     c = _Cursor(_tokenize(text))
     c.prologue()
+    return _parse_select_cursor(c)
+
+
+def _parse_select_cursor(c: _Cursor) -> tuple[list[tuple], list[tuple], dict, bool]:
+    """Cursor-based SELECT parser — shared by top-level queries and
+    ``{ SELECT … }`` subqueries (SPARQL 1.1 §12)."""
     if not _kw(c.peek(), "SELECT"):
         raise SparqlError("only SELECT queries are supported here")
     c.next()
@@ -444,6 +488,17 @@ _CMP_OPS = ("=", "!=", "<", ">", "<=", ">=")
 
 # functions whose compilation reads the carry_meta companion columns
 _META_FNS = {"LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL", "LANGMATCHES"}
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_NUMERIC_DTS = {
+    _XSD + t
+    for t in (
+        "integer", "decimal", "double", "float", "long", "int", "short",
+        "byte", "nonNegativeInteger", "nonPositiveInteger",
+        "negativeInteger", "positiveInteger", "unsignedLong",
+        "unsignedInt", "unsignedShort", "unsignedByte",
+    )
+}
 _FN_NAMES = _META_FNS | {
     "BOUND", "ISBLANK", "STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
     "STRSTARTS", "STRENDS", "SUBSTR", "REPLACE", "CONCAT", "ABS", "CEIL",
@@ -610,6 +665,9 @@ def _parse_constraint(c: _Cursor) -> tuple:
 def _expr_needs_meta(tree: tuple) -> bool:
     if tree[0] == "fn":
         return tree[1] in _META_FNS or any(_expr_needs_meta(a) for a in tree[2])
+    if tree[0] == "cmp" and tree[2][0] == "var" and tree[3][0] == "var":
+        # var-vs-var ordering is datatype-aware at runtime (needs __dt)
+        return True
     return any(
         _expr_needs_meta(a) for a in tree[1:] if isinstance(a, tuple)
     )
@@ -698,6 +756,31 @@ def _compile_expr(tree: tuple, bound: set[str]):
             # xsd:boolean lexical form
             lc = lc.cast("string") if lt == "bool" else lc
             rc = rc.cast("string") if rt == "bool" else rc
+        elif l[0] == "var" and r[0] == "var":
+            # var-vs-var: datatype-aware at runtime — two numeric-typed
+            # literals compare by VALUE ("9" < "10"), everything else by
+            # canonical lexical (IRIs; xsd:dateTime's canonical Z form
+            # is lexicographically value-ordered already)
+            ldt, rdt = f"{l[1]}__dt", f"{r[1]}__dt"
+            if ldt in bound and rdt in bound and op not in ("=", "!="):
+                num = F.lit(sorted(_NUMERIC_DTS))
+                both_num = F.array_contains(num, F.col(ldt)) & F.array_contains(
+                    num, F.col(rdt)
+                )
+                nfns = {
+                    "<": lc.cast("double").__lt__, ">": lc.cast("double").__gt__,
+                    "<=": lc.cast("double").__le__, ">=": lc.cast("double").__ge__,
+                }
+                sfns = {
+                    "<": lc.__lt__, ">": lc.__gt__,
+                    "<=": lc.__le__, ">=": lc.__ge__,
+                }
+                return (
+                    F.when(both_num, nfns[op](rc.cast("double"))).otherwise(
+                        sfns[op](rc)
+                    ),
+                    "bool",
+                )
         fns = {
             "=": lc.__eq__, "!=": lc.__ne__, "<": lc.__lt__,
             ">": lc.__gt__, "<=": lc.__le__, ">=": lc.__ge__,
@@ -948,6 +1031,28 @@ def _parse_group_pattern(
                 if t == ("PUNCT", "."):
                     c.next()
                     continue
+                if t == ("PUNCT", "{"):
+                    # subquery: { SELECT … } joins into the group on its
+                    # projected variables (SPARQL 1.1 §12)
+                    nxt = c.toks[c.i + 1] if c.i + 1 < len(c.toks) else None
+                    if not _kw(nxt, "SELECT"):
+                        raise SparqlError(
+                            "nested group must be a { SELECT … } subquery"
+                        )
+                    if sub:
+                        raise SparqlError(f"subquery inside {sub} is not supported")
+                    c.next()  # '{'
+                    depth, start = 1, c.i
+                    while depth:
+                        tk = c.next()
+                        if tk == ("PUNCT", "{"):
+                            depth += 1
+                        elif tk == ("PUNCT", "}"):
+                            depth -= 1
+                    inner = _Cursor(c.toks[start : c.i - 1])
+                    inner.prefixes = dict(c.prefixes)
+                    ops.append(("subquery", _parse_select_cursor(inner)))
+                    continue
                 if t[0] == "GRAPHKW" or _kw(t, "GRAPH"):
                     if graph_term is not None:
                         raise SparqlError("nested GRAPH patterns are not supported")
@@ -1030,12 +1135,14 @@ def _parse_group_pattern(
                 sink.append(Pattern(s=s, p=p, o=o, g=graph_term))
 
         triples_until_close(None, patterns)
-        if not patterns:
+        if not patterns and not any(op[0] == "subquery" for op in ops):
             raise SparqlError("empty group pattern")
         return patterns, ops, optional_blocks
 
     # UNION chain: WHERE { { A } UNION { B } ... } — else a single group
-    if c.peek() == ("PUNCT", "{"):
+    # (a '{ SELECT' opener is a subquery, not a UNION arm)
+    nxt = c.toks[c.i + 1] if c.i + 1 < len(c.toks) else None
+    if c.peek() == ("PUNCT", "{") and not _kw(nxt, "SELECT"):
         groups: list[tuple[list[Pattern], list[tuple], list[list[Pattern]]]] = []
         while True:
             c.next()  # inner '{'
@@ -1122,7 +1229,7 @@ def _parse_modifiers(c: _Cursor) -> dict:
 def _compile_agg(item: tuple):
     from pyspark.sql import functions as F
 
-    _, fn, arg, distinct, alias = item
+    _, fn, arg, distinct, alias, sep = (*item, " ")[:6]
     if fn == "COUNT":
         if arg == "*":
             expr = F.count(F.lit(1))
@@ -1131,6 +1238,15 @@ def _compile_agg(item: tuple):
         else:
             expr = F.count(F.col(arg))
         return expr.alias(alias)
+    if fn == "SAMPLE":
+        # SPARQL SAMPLE = any value of the group; min is a valid and
+        # DETERMINISTIC sample (F.first varies with partitioning)
+        return F.min(F.col(arg)).alias(alias)
+    if fn == "GROUP_CONCAT":
+        vals = F.collect_set(F.col(arg)) if distinct else F.collect_list(F.col(arg))
+        # SPARQL leaves concatenation order undefined; sorting makes the
+        # result partitioning-invariant (deterministic across runs)
+        return F.array_join(F.array_sort(vals), sep).alias(alias)
     if distinct:
         raise SparqlError(f"DISTINCT is only supported in COUNT, not {fn}")
     fns = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}
@@ -1146,11 +1262,24 @@ def select(
     """Execute a SPARQL SELECT string against a statement DataFrame.
 
     Supports projection of variables and aggregates
-    ``(COUNT/SUM/AVG/MIN/MAX(...) AS ?alias)`` with GROUP BY, plus
-    ORDER BY / OFFSET / LIMIT solution modifiers. Numeric aggregates
-    cast the bound lexical to double (SPARQL numeric semantics over
-    this engine's string-lexical object column)."""
-    projected, groups, mods, distinct = parse_select(text)
+    ``(COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT(...) AS ?alias)`` with
+    GROUP BY / HAVING, plus ORDER BY / OFFSET / LIMIT solution
+    modifiers. Numeric aggregates cast the bound lexical to double
+    (SPARQL numeric semantics over this engine's string-lexical object
+    column)."""
+    parsed = parse_select(text)
+    return _compile_select(
+        statements, parsed, allow_cartesian=allow_cartesian, n_buckets=n_buckets
+    )
+
+
+def _compile_select(
+    statements: DataFrame,
+    parsed: tuple,
+    allow_cartesian: bool = False,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    projected, groups, mods, distinct = parsed
     exprprojs = [it for it in projected if it[0] == "exprproj"]
     out = _solutions(
         statements, groups, allow_cartesian=allow_cartesian, n_buckets=n_buckets,
