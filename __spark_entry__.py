@@ -174,6 +174,43 @@ def q_kg_sparql_select(spark, sf):
     )
 
 
+def q_kg_sparql_subquery(spark, sf):
+    """SPARQL 1.1 §12 subquery: { SELECT … GROUP BY } evaluates
+    independently, then joins the outer BGP on its projected variable —
+    one hash aggregate + one shuffle join, no recomputation per row."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    return sparql.select(
+        stmts,
+        """
+        SELECT ?d ?s ?n WHERE {
+          ?d <urn:p:source> ?s .
+          { SELECT ?s (COUNT(*) AS ?n)
+            WHERE { ?d2 <urn:p:source> ?s } GROUP BY ?s }
+        }
+        """,
+    )
+
+
+def q_kg_group_concat(spark, sf):
+    """GROUP_CONCAT(DISTINCT …; SEPARATOR) + SAMPLE aggregates —
+    compiled to collect_set → array_sort → array_join (partitioning-
+    invariant) and min (deterministic SAMPLE) in ONE hash aggregate."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    return sparql.select(
+        stmts,
+        """
+        SELECT ?s (GROUP_CONCAT(DISTINCT ?d; SEPARATOR=",") AS ?docs)
+               (SAMPLE(?d) AS ?one)
+        WHERE { ?d <urn:p:source> ?s }
+        GROUP BY ?s
+        """,
+    )
+
+
 def q_kg_sparql_agg(spark, sf):
     """SPARQL aggregates + modifiers entirely in query text: GROUP BY
     with COUNT, ORDER BY — compiled to one Spark hash aggregate."""
@@ -878,6 +915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in pytest/check_oracles regardless of position (COVERAGE.md §r3)."""
     return {
         # new this round (r3)
+        "kg_sparql_subquery": q_kg_sparql_subquery,
+        "kg_group_concat": q_kg_group_concat,
         "kg_sparql_expr": q_kg_sparql_expr,
         "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_closure": q_kg_sparql_closure,
@@ -1053,6 +1092,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source
+        """,
+        "kg_sparql_subquery": """
+            SELECT 'urn:doc:' || doc_id AS d, 'urn:src:' || source AS s, n
+            FROM documents
+            JOIN (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+            USING (source)
+        """,
+        "kg_group_concat": """
+            SELECT s, string_agg(d, ',' ORDER BY d) AS docs, MIN(d) AS one
+            FROM (SELECT DISTINCT 'urn:src:' || source AS s,
+                         'urn:doc:' || doc_id AS d FROM documents)
+            GROUP BY s
         """,
         "kg_sparql_agg": """
             SELECT 'urn:src:' || source AS s, COUNT(*) AS n_docs
