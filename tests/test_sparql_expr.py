@@ -369,3 +369,121 @@ def test_group_concat_distinct(spark):
         "WHERE { ?d <urn:p:tag> ?t } GROUP BY ?d",
     )
     assert out.first()["tags"] == "a|b"
+
+
+def test_in_and_not_in(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . "
+        "FILTER(?d IN (<urn:doc:1>, <urn:doc:3>)) }",
+    )
+    assert _vals(out, "d") == ["urn:doc:1", "urn:doc:3"]
+    out = sparql.select(
+        df,
+        "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . FILTER(?n NOT IN (100, 900)) }",
+    )
+    assert _vals(out, "d") == ["urn:doc:2", "urn:doc:3"]
+
+
+def test_in_numeric_coercion(df):
+    """IN reuses cmp's numeric coercion: 250.0 matches the lexical
+    '250' because the literal side is numeric."""
+    out = sparql.select(
+        df,
+        "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . FILTER(?n IN (250.0, 500)) }",
+    )
+    assert _vals(out, "d") == ["urn:doc:2", "urn:doc:3"]
+
+
+def test_hash_functions(df):
+    import hashlib
+
+    out = sparql.select(
+        df,
+        'SELECT ?d (MD5(STR(?n)) AS ?h5) (SHA1(STR(?n)) AS ?h1) '
+        "(SHA256(STR(?n)) AS ?h256) WHERE { ?d <urn:p:nchars> ?n . "
+        "FILTER(?d = <urn:doc:1>) }",
+    )
+    row = out.first()
+    assert row["h5"] == hashlib.md5(b"100").hexdigest()
+    assert row["h1"] == hashlib.sha1(b"100").hexdigest()
+    assert row["h256"] == hashlib.sha256(b"100").hexdigest()
+
+
+def test_encode_for_uri(df):
+    """fn:encode-for-uri semantics: unreserved [A-Za-z0-9-_.~] kept,
+    everything else percent-encoded (space %20, '*' %2A)."""
+    out = sparql.select(
+        df,
+        "SELECT (ENCODE_FOR_URI(\"Los Angeles~a*b'c\") AS ?e) "
+        "WHERE { ?d <urn:p:nchars> ?n } LIMIT 1",
+    )
+    assert out.first()["e"] == "Los%20Angeles~a%2Ab%27c"
+
+
+def test_select_reduced(df):
+    out = sparql.select(df, "SELECT REDUCED ?p WHERE { ?d ?p ?o }")
+    vals = _vals(out, "p")
+    assert len(vals) == len(set(vals)) == 5
+
+
+def test_order_by_expression(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d ?n WHERE { ?d <urn:p:nchars> ?n } "
+        "ORDER BY DESC(?n - 2 * ?n)",  # ≡ ascending by ?n, via arithmetic
+    )
+    assert [r["d"] for r in out.collect()] == [
+        "urn:doc:1", "urn:doc:2", "urn:doc:3", "urn:doc:4",
+    ]
+    out = sparql.select(
+        df,
+        "SELECT ?d ?lab WHERE { ?d <urn:p:label> ?lab } ORDER BY STRLEN(?lab) ?d",
+    )
+    assert [r["lab"] for r in out.collect()] == [
+        "gamma", "delta", "beta doc", "Alpha Doc",
+    ]
+
+
+def test_values_multi_var(df):
+    """Multi-variable VALUES joins as an inline table; UNDEF cells are
+    compatible with every binding (SPARQL §10.2)."""
+    out = sparql.select(
+        df,
+        """
+        SELECT ?d ?n ?tag WHERE {
+          ?d <urn:p:nchars> ?n .
+          VALUES (?d ?tag) { (<urn:doc:1> "small") (UNDEF "any") }
+        } ORDER BY ?d ?tag
+        """,
+    )
+    rows = [(r["d"], r["tag"]) for r in out.collect()]
+    assert rows == [
+        ("urn:doc:1", "any"), ("urn:doc:1", "small"),
+        ("urn:doc:2", "any"), ("urn:doc:3", "any"), ("urn:doc:4", "any"),
+    ]
+
+
+def test_values_multi_var_binds_new_variable(df):
+    """VALUES vars absent from the BGP become new bindings."""
+    out = sparql.select(
+        df,
+        """
+        SELECT ?d ?alias WHERE {
+          ?d <urn:p:nchars> ?n .
+          VALUES (?d ?alias) { (<urn:doc:1> "one") (<urn:doc:2> "two") }
+        } ORDER BY ?d
+        """,
+    )
+    assert [(r["d"], r["alias"]) for r in out.collect()] == [
+        ("urn:doc:1", "one"), ("urn:doc:2", "two"),
+    ]
+
+
+def test_values_single_var_undef_drops_constraint(df):
+    out = sparql.select(
+        df,
+        'SELECT ?d WHERE { ?d <urn:p:nchars> ?n . '
+        "VALUES ?d { <urn:doc:1> UNDEF } }",
+    )
+    assert out.count() == 4  # UNDEF row admits every solution

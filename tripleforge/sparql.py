@@ -208,6 +208,32 @@ def _apply_ops(
                     "subquery shares no variable with the group — the "
                     "result is a cross product; pass allow_cartesian=True"
                 )
+        elif op[0] == "values_multi":
+            # inline table (SPARQL §10.2): tiny literal DataFrame joined
+            # broadcast; UNDEF (null) cells are compatible with any
+            # binding, so shared-var equality is OR'd with IS NULL
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            _, vnames, rows = op
+            spark = sol.sparkSession
+            vdf = spark.createDataFrame(
+                [tuple(r) for r in rows],
+                StructType(
+                    [StructField(f"__values_{v}", StringType(), True)
+                     for v in vnames]
+                ),
+            ).dropDuplicates()
+            shared = [v for v in vnames if v in sol.columns]
+            new = [v for v in vnames if v not in sol.columns]
+            cond = F.lit(True)
+            for v in shared:
+                vc = vdf[f"__values_{v}"]
+                cond = cond & (vc.isNull() | (sol[v] == vc))
+            sol = sol.join(F.broadcast(vdf), cond, "inner")
+            for v in new:
+                sol = sol.withColumn(v, F.col(f"__values_{v}"))
+            sol = sol.drop(*[f"__values_{v}" for v in vnames])
         elif op[0] in ("minus", "exists"):
             if statements is None:
                 raise SparqlError(f"{op[0].upper()} is not available here")
@@ -370,7 +396,9 @@ def _parse_agg_projection(c: _Cursor) -> tuple:
     if c.next() != ("PUNCT", "("):
         raise SparqlError(f"expected '(' after {fn}")
     distinct = False
-    if _kw(c.peek(), "DISTINCT"):
+    if _kw(c.peek(), "DISTINCT") or _kw(c.peek(), "REDUCED"):
+        # REDUCED *permits* duplicate elimination (SPARQL §15.3.2);
+        # eliminating is the conforming, deterministic choice here
         c.next()
         distinct = True
     t = c.next()
@@ -429,7 +457,9 @@ def _parse_select_cursor(c: _Cursor) -> tuple[list[tuple], list[tuple], dict, bo
         raise SparqlError("only SELECT queries are supported here")
     c.next()
     distinct = False
-    if _kw(c.peek(), "DISTINCT"):
+    if _kw(c.peek(), "DISTINCT") or _kw(c.peek(), "REDUCED"):
+        # REDUCED *permits* duplicate elimination (SPARQL §15.3.2);
+        # eliminating is the conforming, deterministic choice here
         c.next()
         distinct = True
     projected: list[tuple] = []
@@ -503,6 +533,7 @@ _FN_NAMES = _META_FNS | {
     "BOUND", "ISBLANK", "STR", "STRLEN", "UCASE", "LCASE", "CONTAINS",
     "STRSTARTS", "STRENDS", "SUBSTR", "REPLACE", "CONCAT", "ABS", "CEIL",
     "FLOOR", "ROUND", "REGEX", "IF", "COALESCE", "STRBEFORE", "STRAFTER",
+    "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "ENCODE_FOR_URI",
 }
 
 
@@ -532,6 +563,24 @@ def _parse_rel(c: _Cursor) -> tuple:
     if t is not None and t[0] == "OP" and t[1] in _CMP_OPS:
         op = c.next()[1]
         return ("cmp", op, left, _parse_add(c))
+    if _kw(t, "IN") or _kw(t, "NOT"):
+        neg = _kw(t, "NOT")
+        c.next()
+        if neg and not _kw(c.next(), "IN"):
+            raise SparqlError("expected IN after NOT in expression")
+        if c.next() != ("PUNCT", "("):
+            raise SparqlError("expected '(' after IN")
+        items: list[tuple] = []
+        if c.peek() != ("PUNCT", ")"):
+            while True:
+                items.append(_parse_expression(c))
+                if c.peek() == ("PUNCT", ","):
+                    c.next()
+                    continue
+                break
+        if c.next() != ("PUNCT", ")"):
+            raise SparqlError("unterminated IN (...)")
+        return ("inlist", neg, left, items)
     return left
 
 
@@ -745,6 +794,22 @@ def _compile_expr(tree: tuple, bound: set[str]):
             "*": lc.__mul__, "/": lc.__truediv__,
         }
         return fns[op](rc), "num"
+    if kind == "inlist":
+        # ?v IN (a, b, …) ≡ (?v = a) || (?v = b) …; NOT IN ≡ the
+        # conjunction of != — each equality reuses cmp's type coercion,
+        # and Catalyst folds the OR-of-equalities into an In predicate
+        _, neg, left, items = tree
+        if not items:
+            return F.lit(bool(neg)), "bool"
+        sub = "!=" if neg else "="
+        cols = [
+            _as_bool(*_compile_expr(("cmp", sub, left, it), bound))
+            for it in items
+        ]
+        out = cols[0]
+        for col in cols[1:]:
+            out = (out & col) if neg else (out | col)
+        return out, "bool"
     if kind == "cmp":
         _, op, l, r = tree
         lc, lt = _compile_expr(l, bound)
@@ -944,6 +1009,27 @@ def _compile_fn(name: str, args: list[tuple], bound: set[str]):
         bc, bt = _compile_expr(args[2], bound)
         typ = at_ if at_ == bt else "term"
         return F.when(_as_bool(cc, ct), ac).otherwise(bc), typ
+    if name in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+        _fn_arity(name, args, 1)
+        c, t = _compile_expr(args[0], bound)
+        s = _as_str(c, t)
+        if name == "MD5":
+            return F.md5(s.cast("binary")), "str"
+        if name == "SHA1":
+            return F.sha1(s.cast("binary")), "str"
+        return F.sha2(s.cast("binary"), int(name[3:])), "str"
+    if name == "ENCODE_FOR_URI":
+        _fn_arity(name, args, 1)
+        c, t = _compile_expr(args[0], bound)
+        # SPARQL ENCODE_FOR_URI = fn:encode-for-uri: escape everything
+        # except [A-Za-z0-9] - _ . ~ ; url_encode (form-encoding)
+        # differs only on space ('+' vs '%20'), '*' (left raw) and '~'
+        # (escaped)
+        enc = F.url_encode(_as_str(c, t))
+        enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+        enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+        enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
+        return enc, "str"
     if name == "COALESCE":
         if not args:
             raise SparqlError("COALESCE() needs arguments")
@@ -1113,9 +1199,43 @@ def _parse_group_pattern(
                     continue
                 if _kw(t, "VALUES"):
                     c.next()
+                    if c.peek() == ("PUNCT", "("):
+                        # multi-variable form: VALUES (?a ?b) { (x y)
+                        # (z UNDEF) … } — joined as an inline table
+                        c.next()
+                        vnames: list[str] = []
+                        while c.peek() is not None and c.peek()[0] == "VAR":
+                            vnames.append(c.next()[1][1:])
+                        if not vnames or c.next() != ("PUNCT", ")"):
+                            raise SparqlError("bad VALUES (?var …) header")
+                        if c.next() != ("PUNCT", "{"):
+                            raise SparqlError("expected '{' after VALUES (…)")
+                        rows: list[list[str | None]] = []
+                        while c.peek() != ("PUNCT", "}"):
+                            if c.peek() is None:
+                                raise SparqlError("unterminated VALUES block")
+                            if c.next() != ("PUNCT", "("):
+                                raise SparqlError("VALUES rows are '(term …)'")
+                            row: list[str | None] = []
+                            for _ in vnames:
+                                if _kw(c.peek(), "UNDEF"):
+                                    c.next()
+                                    row.append(None)
+                                else:
+                                    row.append(c.pattern_term("VALUES"))
+                            if c.next() != ("PUNCT", ")"):
+                                raise SparqlError(
+                                    "VALUES row arity does not match header"
+                                )
+                            rows.append(row)
+                        c.next()
+                        if not rows:
+                            raise SparqlError("empty VALUES block")
+                        ops.append(("values_multi", vnames, rows))
+                        continue
                     k, v = c.next()
                     if k != "VAR":
-                        raise SparqlError("VALUES needs a single variable here")
+                        raise SparqlError("VALUES needs a variable")
                     var = v[1:]
                     if c.next() != ("PUNCT", "{"):
                         raise SparqlError("expected '{' after VALUES ?var")
@@ -1123,11 +1243,23 @@ def _parse_group_pattern(
                     while c.peek() != ("PUNCT", "}"):
                         if c.peek() is None:
                             raise SparqlError("unterminated VALUES block")
+                        if _kw(c.peek(), "UNDEF"):
+                            # UNDEF is compatible with every binding —
+                            # the constraint vanishes
+                            c.next()
+                            vals = None
+                            break
                         vals.append(c.pattern_term("VALUES"))
+                    if vals is None:
+                        while c.peek() != ("PUNCT", "}"):
+                            if c.peek() is None:
+                                raise SparqlError("unterminated VALUES block")
+                            c.next()
                     c.next()
-                    if not vals:
+                    if vals == []:
                         raise SparqlError("empty VALUES block")
-                    ops.append(("in", var, vals))
+                    if vals is not None:
+                        ops.append(("in", var, vals))
                     continue
                 s = c.pattern_term("subject")
                 p = _parse_path_expr(c)
@@ -1193,12 +1325,18 @@ def _parse_modifiers(c: _Cursor) -> dict:
                 c.next()
                 if c.next() != ("PUNCT", "("):
                     raise SparqlError("expected '(' after ASC/DESC")
-                v = c.next()
-                if v[0] != "VAR":
-                    raise SparqlError("ASC/DESC needs a variable")
+                tree = _parse_expression(c)
                 if c.next() != ("PUNCT", ")"):
                     raise SparqlError("unterminated ASC/DESC(...)")
-                mods["order_by"].append((v[1][1:], asc))
+                key = tree[1] if tree[0] == "var" else ("expr", tree)
+                mods["order_by"].append((key, asc))
+                continue
+            if t == ("PUNCT", "(") or (
+                t[0] in ("WORD", "KW", "SPARQL_KW", "GRAPHKW")
+                and t[1].upper() in _FN_NAMES
+            ):
+                # bare expression sort key: ORDER BY STRLEN(?s), (…)
+                mods["order_by"].append((("expr", _parse_constraint(c)), True))
                 continue
             break
         if not mods["order_by"]:
@@ -1342,15 +1480,20 @@ def _compile_select(
         from pyspark.sql import functions as F
 
         cols = set(out.columns)
-        bad = [v for v, _ in mods["order_by"] if v not in cols]
+        bad = [
+            v for v, _ in mods["order_by"]
+            if isinstance(v, str) and v not in cols
+        ]
         if bad:
             raise SparqlError(f"ORDER BY variables not in projection: {bad}")
-        out = out.orderBy(
-            *[
-                F.col(v).asc() if asc_ else F.col(v).desc()
-                for v, asc_ in mods["order_by"]
-            ]
-        )
+        keys = []
+        for v, asc_ in mods["order_by"]:
+            col = (
+                F.col(v) if isinstance(v, str)
+                else _compile_expr(v[1], cols)[0]
+            )
+            keys.append(col.asc() if asc_ else col.desc())
+        out = out.orderBy(*keys)
     if mods["offset"]:
         out = out.offset(mods["offset"])
     if mods["limit"] is not None:
