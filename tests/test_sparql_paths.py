@@ -161,3 +161,79 @@ def test_path_no_python_in_plan(df):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Negated property sets (SPARQL 1.1 §9.1 PathNegatedPropertySet)
+# ---------------------------------------------------------------------------
+def test_nps_forward(df):
+    """!(knows|nchars) keeps only source/alt edges."""
+    out = sparql.select(
+        df,
+        "SELECT ?s ?o WHERE { ?s !(<urn:knows>|<urn:p:nchars>) ?o }",
+    )
+    assert _pairs(out) == {
+        ("urn:d1", "urn:s1"), ("urn:d2", "urn:s1"), ("urn:d3", "urn:s2"),
+        ("urn:d1", "urn:z"),
+    }
+
+
+def test_nps_single_member_no_parens(df):
+    """!iri without parentheses."""
+    out = sparql.select(df, "SELECT ?s ?o WHERE { ?s !<urn:knows> ?o }")
+    got = _pairs(out)
+    assert ("urn:a", "urn:b") not in got
+    assert ("urn:d1", "urn:s1") in got and ("urn:d1", "urn:100") not in got
+    assert ("urn:d1", "100") in got  # literal objects survive
+
+
+def test_nps_inverse_only(df):
+    """!(^p) matches every reversed edge whose predicate is not p."""
+    out = sparql.select(
+        df, "SELECT ?s ?o WHERE { ?s !(^<urn:knows>) ?o }"
+    )
+    got = _pairs(out)
+    assert ("urn:b", "urn:a") not in got      # reversed knows excluded
+    assert ("urn:s1", "urn:d1") in got        # reversed source kept
+    assert ("urn:d1", "urn:s1") not in got    # forward arm absent
+
+
+def test_nps_mixed(df):
+    """Mixed set: forward arm excludes fwd members, inverse arm excludes
+    inverse members (SPARQL 1.1 translation: NPS ∪ ^NPS)."""
+    out = sparql.select(
+        df,
+        "SELECT ?s ?o WHERE { ?s !(<urn:p:nchars>|<urn:p:alt>"
+        "|<urn:p:source>|^<urn:knows>) ?o }",
+    )
+    got = _pairs(out)
+    assert ("urn:a", "urn:b") in got          # forward knows kept
+    assert ("urn:d1", "urn:s1") not in got    # forward source excluded
+    assert ("urn:s1", "urn:d1") in got        # reversed source kept
+    assert ("urn:c", "urn:a") in got          # forward knows c→a kept
+    assert ("urn:b", "urn:a") not in got      # reversed knows excluded
+
+
+def test_nps_in_sequence(df):
+    """NPS composes with / like any path primary."""
+    out = sparql.select(
+        df,
+        "SELECT ?s ?o WHERE { ?s <urn:knows>/!(<urn:p:x>) ?o }",
+    )
+    assert ("urn:a", "urn:c") in _pairs(out)
+
+
+def test_nps_variable_member_rejected(df):
+    with pytest.raises(Exception, match="not allowed inside property paths"):
+        sparql.select(df, "SELECT ?s ?o WHERE { ?s !(?p) ?o }")
+
+
+def test_nps_pushdown_plan(df):
+    """The NPS exclusion is a plain NOT IN predicate scan — no join,
+    no Python in the plan."""
+    out = sparql.select(
+        df, "SELECT ?s ?o WHERE { ?s !(<urn:knows>) ?o }"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Join" not in plan

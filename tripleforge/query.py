@@ -91,7 +91,7 @@ def match(
 # Property paths (SPARQL 1.1 §9): a path AST in a pattern's predicate
 # position compiles to a DataFrame of endpoint pairs. AST nodes:
 # ("leaf", iri) ("inv", p) ("seq", [p…]) ("alt", [p…])
-# ("plus", p) ("star", p) ("opt", p)
+# ("plus", p) ("star", p) ("opt", p) ("nps", [fwd iris], [inv iris])
 # ---------------------------------------------------------------------------
 PATH_MAX_ITER = 25
 
@@ -182,6 +182,43 @@ def path_pairs(
     kind = ast[0]
     if kind == "leaf":
         return _leaf_pairs(statements, ast[1], g, carry_meta, n_buckets)
+    if kind == "nps":
+        # Negated property set !(p1|^p2|…) — SPARQL 1.1 §9.1: a forward
+        # arm over triples whose predicate is outside the forward set,
+        # unioned with a swapped arm over triples whose predicate is
+        # outside the inverse set. A pure-inverse NPS has no forward
+        # arm; !() matches every triple. The exclusion compiles to a
+        # pushed-down Not(In(pred, …)) — a plain predicate scan, no
+        # joins, no shuffle.
+        fwd, inv = ast[1], ast[2]
+        df = statements
+        if g is not None and not _is_var(g):
+            df = df.where(F.col("graph") == F.lit(g))
+            if n_buckets and "graph_bucket" in df.columns:
+                df = df.where(
+                    F.col("graph_bucket")
+                    == F.pmod(F.xxhash64(F.lit(g)), F.lit(n_buckets)).cast("int")
+                )
+        arms = []
+        if fwd or not inv:
+            fdf = df.where(~F.col("pred").isin(fwd)) if fwd else df
+            cols = [F.col("subj").alias("_ps"), F.col("obj").alias("_po")]
+            if carry_meta and not inv:
+                cols += [
+                    F.col("obj_kind").alias("_po__kind"),
+                    F.col("obj_dt").alias("_po__dt"),
+                    F.col("obj_lang").alias("_po__lang"),
+                ]
+            arms.append(fdf.select(*cols))
+        if inv:
+            idf = df.where(~F.col("pred").isin(inv))
+            arms.append(
+                idf.select(F.col("obj").alias("_ps"), F.col("subj").alias("_po"))
+            )
+        out = arms[0]
+        for a in arms[1:]:
+            out = out.unionByName(a)
+        return out if len(arms) == 1 else out.dropDuplicates()
     if kind == "inv":
         inner = path_pairs(
             statements, ast[1], g=g, carry_meta=False,

@@ -269,10 +269,24 @@ def _apply_ops(
 #   PathSeq     := PathEltOrInv ('/' PathEltOrInv)*
 #   PathEltOrInv:= '^' PathElt | PathElt
 #   PathElt     := PathPrimary ('+'|'*'|'?')?
-#   PathPrimary := '(' Path ')' | iri | 'a'
+#   PathPrimary := '(' Path ')' | '!' PathNegatedPropertySet | iri | 'a'
+#   PathNegatedPropertySet := PathOneInPS | '(' (PathOneInPS ('|' PathOneInPS)*)? ')'
+#   PathOneInPS := iri | 'a' | '^' (iri | 'a')
 # compiled by tripleforge.query.path_pairs (seq → join, alt → union,
-# inv → swap, +/*/? → bounded fixpoint iteration).
+# inv → swap, +/*/? → bounded fixpoint iteration, nps → excluded-set
+# predicate scan).
 # ---------------------------------------------------------------------------
+def _nps_member(c: _Cursor, fwd: list, inv: list) -> None:
+    sink = fwd
+    if c.peek() == ("OP", "^"):
+        c.next()
+        sink = inv
+    term = c.pattern_term("negated property set member")
+    if term.startswith("?"):
+        raise SparqlError("variables are not allowed inside property paths")
+    sink.append(term)
+
+
 def _path_primary(c: _Cursor) -> tuple:
     t = c.peek()
     if t == ("PUNCT", "("):
@@ -281,6 +295,22 @@ def _path_primary(c: _Cursor) -> tuple:
         if c.next() != ("PUNCT", ")"):
             raise SparqlError("unterminated ( path )")
         return inner
+    if t == ("OP", "!"):
+        c.next()
+        fwd: list[str] = []
+        inv: list[str] = []
+        if c.peek() == ("PUNCT", "("):
+            c.next()
+            if c.peek() != ("PUNCT", ")"):
+                _nps_member(c, fwd, inv)
+                while c.peek() == ("OP", "|"):
+                    c.next()
+                    _nps_member(c, fwd, inv)
+            if c.next() != ("PUNCT", ")"):
+                raise SparqlError("unterminated !( property set )")
+        else:
+            _nps_member(c, fwd, inv)
+        return ("nps", fwd, inv)
     if t is not None and t[0] == "VAR":
         c.next()
         return ("varleaf", "?" + t[1][1:])
@@ -517,7 +547,10 @@ def _parse_select_cursor(c: _Cursor) -> tuple[list[tuple], list[tuple], dict, bo
 _CMP_OPS = ("=", "!=", "<", ">", "<=", ">=")
 
 # functions whose compilation reads the carry_meta companion columns
-_META_FNS = {"LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL", "LANGMATCHES"}
+_META_FNS = {
+    "LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL", "LANGMATCHES",
+    "SAMETERM", "ISNUMERIC",
+}
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 _NUMERIC_DTS = {
@@ -534,7 +567,26 @@ _FN_NAMES = _META_FNS | {
     "STRSTARTS", "STRENDS", "SUBSTR", "REPLACE", "CONCAT", "ABS", "CEIL",
     "FLOOR", "ROUND", "REGEX", "IF", "COALESCE", "STRBEFORE", "STRAFTER",
     "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "ENCODE_FOR_URI",
+    # date/time accessors (SPARQL 1.1 §17.4.5) over canonical
+    # xsd:dateTime lexicals
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE",
+    # term constructors / misc
+    "IRI", "URI", "STRLANG", "STRDT", "BNODE",
+    # non-deterministic (shape-tested only; no DuckDB oracle possible)
+    "NOW", "UUID", "STRUUID", "RAND",
 }
+
+# XSD constructor casts (SPARQL 1.1 §17.5 XPath constructor functions):
+# xsd:integer(?x) etc. in expression position
+_CAST_NUM_INT = {
+    _XSD + t for t in ("integer", "long", "int", "short", "byte")
+}
+_CAST_NUM_REAL = {_XSD + t for t in ("decimal", "double", "float")}
+_CAST_TYPES = (
+    _CAST_NUM_INT
+    | _CAST_NUM_REAL
+    | {_XSD + "string", _XSD + "boolean", _XSD + "dateTime"}
+)
 
 
 def _parse_expression(c: _Cursor) -> tuple:
@@ -669,13 +721,19 @@ def _parse_primary(c: _Cursor) -> tuple:
         # IRI constants canonicalize exactly like triple-pattern
         # constants (ADVICE r2: FILTER(?v = <HTTP://EX.ORG/>) must
         # match the store's canonical spelling)
-        return ("iri", normalize_iri_str(val[1:-1]))
+        iri = normalize_iri_str(val[1:-1])
+        if iri in _CAST_TYPES and c.peek() == ("PUNCT", "("):
+            return _parse_cast(c, iri)
+        return ("iri", iri)
     if kind == "PNAME" and ":" in val:
         c.next()
         ns, _, local = val.partition(":")
         if ns not in c.prefixes:
             raise SparqlError(f"undefined prefix {ns!r}:")
-        return ("iri", normalize_iri_str(c.prefixes[ns] + local))
+        iri = normalize_iri_str(c.prefixes[ns] + local)
+        if iri in _CAST_TYPES and c.peek() == ("PUNCT", "("):
+            return _parse_cast(c, iri)
+        return ("iri", iri)
     if kind == "KW" and val in ("true", "false"):
         c.next()
         return ("boollit", val == "true")
@@ -698,6 +756,17 @@ def _parse_primary(c: _Cursor) -> tuple:
             raise SparqlError(f"unterminated {name}(...)")
         return ("fn", name, args)
     raise SparqlError(f"bad expression term {val!r}")
+
+
+def _parse_cast(c: _Cursor, xsd_iri: str) -> tuple:
+    """XPath constructor cast ``xsd:integer(expr)`` — the '(' is the
+    lookahead that distinguishes a cast from a plain IRI constant."""
+    if c.next() != ("PUNCT", "("):
+        raise SparqlError(f"expected '(' after <{xsd_iri}>")
+    arg = _parse_expression(c)
+    if c.next() != ("PUNCT", ")"):
+        raise SparqlError(f"unterminated <{xsd_iri}>(...)")
+    return ("cast", xsd_iri, arg)
 
 
 def _parse_constraint(c: _Cursor) -> tuple:
@@ -851,6 +920,29 @@ def _compile_expr(tree: tuple, bound: set[str]):
             ">": lc.__gt__, "<=": lc.__le__, ">=": lc.__ge__,
         }
         return fns[op](rc), "bool"
+    if kind == "cast":
+        _, dt, arg = tree
+        ec, et = _compile_expr(arg, bound)
+        if dt in _CAST_NUM_INT:
+            # XPath casting to integer truncates toward zero
+            return _as_num(ec, et).cast("long").cast("double"), "num"
+        if dt in _CAST_NUM_REAL:
+            return _as_num(ec, et), "num"
+        if dt == _XSD + "boolean":
+            if et == "bool":
+                return ec, "bool"
+            if et == "num":
+                return ec != F.lit(0.0), "bool"
+            s = _as_str(ec, et)
+            return (
+                F.when(s.isin("true", "1"), F.lit(True))
+                .when(s.isin("false", "0"), F.lit(False))
+                .otherwise(F.lit(None).cast("boolean")),
+                "bool",
+            )
+        # xsd:string / xsd:dateTime: lexical pass-through (dateTime
+        # lexicals are stored canonically, so equality/order hold)
+        return _as_str(ec, et), "str"
     if kind == "fn":
         return _compile_fn(tree[1], tree[2], bound)
     raise SparqlError(f"cannot compile expression node {kind!r}")
@@ -1037,6 +1129,108 @@ def _compile_fn(name: str, args: list[tuple], bound: set[str]):
         typs = {t for _, t in compiled}
         typ = typs.pop() if len(typs) == 1 else "term"
         return F.coalesce(*[c for c, _ in compiled]), typ
+    if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+        # accessors over the store's canonical xsd:dateTime lexical
+        # (canon._canon_datetime: UTC Z, trimmed fraction; tz-less
+        # stays as written) — regexp_extract of a non-match is "",
+        # which casts to null = SPARQL type error
+        _fn_arity(name, args, 1)
+        c, t = _compile_expr(args[0], bound)
+        s = _as_str(c, t)
+        pats = {
+            "YEAR": r"^(-?\d{4,})-",
+            "MONTH": r"^-?\d{4,}-(\d{2})-",
+            "DAY": r"^-?\d{4,}-\d{2}-(\d{2})",
+            "HOURS": r"T(\d{2}):",
+            "MINUTES": r"T\d{2}:(\d{2}):",
+            "SECONDS": r"T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)",
+        }
+        col = F.regexp_extract(s, pats[name], 1)
+        return col.cast("double" if name == "SECONDS" else "int"), "num"
+    if name in ("TZ", "TIMEZONE"):
+        _fn_arity(name, args, 1)
+        c, t = _compile_expr(args[0], bound)
+        tz = F.regexp_extract(_as_str(c, t), r"(Z|[+-]\d{2}:\d{2})$", 1)
+        if name == "TZ":
+            return tz, "str"
+        # TIMEZONE → xsd:dayTimeDuration lexical; absent tz → null
+        # (SPARQL type error)
+        hh = F.regexp_extract(tz, r"[+-](\d{2}):\d{2}", 1).cast("int")
+        mm = F.regexp_extract(tz, r"[+-]\d{2}:(\d{2})", 1).cast("int")
+        sign = F.when(tz.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+        dur = F.when((hh == 0) & (mm == 0), F.lit("PT0S")).otherwise(
+            F.concat(
+                sign,
+                F.lit("PT"),
+                F.when(hh > 0, F.concat(hh.cast("string"), F.lit("H"))).otherwise(F.lit("")),
+                F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M"))).otherwise(F.lit("")),
+            )
+        )
+        return (
+            F.when(tz == "Z", F.lit("PT0S"))
+            .when(tz == "", F.lit(None).cast("string"))
+            .otherwise(dur),
+            "str",
+        )
+    if name in ("IRI", "URI"):
+        # constants were canonicalized at parse time; a computed value
+        # passes through lexically (no base resolution at runtime)
+        _fn_arity(name, args, 1)
+        c, t = _compile_expr(args[0], bound)
+        return _as_str(c, t), "str"
+    if name in ("STRLANG", "STRDT"):
+        # constructed-literal value; this engine's solution columns are
+        # lexical, so the constructed tag/datatype participates in
+        # output serialization only, not in downstream LANG()/DATATYPE()
+        _fn_arity(name, args, 2)
+        c, t = _compile_expr(args[0], bound)
+        return _as_str(c, t), "str"
+    if name == "SAMETERM":
+        _fn_arity(name, args, 2)
+        lc, lt = _compile_expr(args[0], bound)
+        rc, rt = _compile_expr(args[1], bound)
+        cond = _as_str(lc, lt).eqNullSafe(_as_str(rc, rt))
+        if args[0][0] == "var" and args[1][0] == "var":
+            # identical term = identical value AND identical
+            # kind/datatype/lang; a variable bound in a non-object
+            # position is an IRI by construction
+            for suffix, dflt in (("kind", "iri"), ("dt", None), ("lang", None)):
+                ln = f"{args[0][1]}__{suffix}"
+                rn = f"{args[1][1]}__{suffix}"
+                lcol = F.col(ln) if ln in bound else F.lit(dflt).cast("string")
+                rcol = F.col(rn) if rn in bound else F.lit(dflt).cast("string")
+                cond = cond & lcol.eqNullSafe(rcol)
+        return cond, "bool"
+    if name == "ISNUMERIC":
+        _fn_arity(name, args, 1)
+        kc = _meta_col(args, name, "kind", bound)
+        if kc is None:
+            return F.lit(False), "bool"
+        v = args[0][1]
+        dt = F.col(f"{v}__dt") if f"{v}__dt" in bound else F.lit(None).cast("string")
+        return (kc == F.lit("literal")) & dt.isin(sorted(_NUMERIC_DTS)), "bool"
+    if name == "BNODE":
+        # fresh blank node per solution row; blank nodes are skolem
+        # IRIs in this engine (A10)
+        _fn_arity(name, args, 0)
+        return F.concat(F.lit("urn:skolem:bnode:"), F.expr("uuid()")), "str"
+    if name == "NOW":
+        # fixed for the whole query (SPARQL 1.1 §17.4.5.1): captured
+        # once at compile time, in the store's canonical dateTime form
+        _fn_arity(name, args, 0)
+        from datetime import datetime, timezone
+
+        now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+        return F.lit(now), "str"
+    if name == "UUID":
+        _fn_arity(name, args, 0)
+        return F.concat(F.lit("urn:uuid:"), F.expr("uuid()")), "str"
+    if name == "STRUUID":
+        _fn_arity(name, args, 0)
+        return F.expr("uuid()"), "str"
+    if name == "RAND":
+        _fn_arity(name, args, 0)
+        return F.rand(), "num"
     raise SparqlError(f"unsupported function {name}()")
 
 
