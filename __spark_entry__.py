@@ -25,6 +25,7 @@ from tripleforge.schema import CORPUS
 
 XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+XSD_DATETIME = "http://www.w3.org/2001/XMLSchema#dateTime"
 
 
 # ---------------------------------------------------------------------------
@@ -364,6 +365,62 @@ def q_kg_sparql_closure(spark, sf):
         stmts,
         "SELECT (COUNT(*) AS ?n_pairs) WHERE { ?a <" + OWL_SAMEAS + ">+ ?b }",
     )
+
+
+def q_kg_sparql_nps(spark, sf):
+    """Negated property set (A27 ext, r3): !(type|source) inside a BGP
+    join — the NPS compiles to a pushed-down NOT IN predicate scan (no
+    join for the path itself), leaving only the nchars literals."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    return sparql.select(
+        stmts,
+        """
+        SELECT ?src (COUNT(*) AS ?n_lit) WHERE {
+          ?d <urn:p:source> ?src .
+          ?d !(<urn:p:type>|<urn:p:source>) ?v
+        } GROUP BY ?src
+        """,
+    )
+
+
+def _ts_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One xsd:dateTime triple per event — exercises dateTime literal
+    parsing + canonicalization and the §17.4.5 accessor functions."""
+    ev = read_table(spark, sf_dir, "events")
+    content = F.format_string(
+        '<urn:ev:%d> <urn:p:at> "%s"^^<' + XSD_DATETIME + "> .",
+        F.col("event_id"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+    )
+    return ev.select(
+        F.col("event_type").alias("repo"),
+        F.format_string("ev/ev_%d.nt", F.col("event_id")).alias("path"),
+        F.md5(F.col("event_type")).alias("commit"),
+        F.lit("N-Triples").alias("lang"),
+        content.alias("content"),
+    )
+
+
+def q_kg_sparql_datetime(spark, sf):
+    """Date/time accessors (A27 ext, r3): DAY/HOURS/TZ over canonical
+    xsd:dateTime lexicals — morning events per day-of-month, all
+    compiled to regexp_extract columns (no UDFs, no timestamp cast)."""
+    from tripleforge import sparql
+
+    stmts, _ = transform(_ts_corpus(spark, sf), BuildConfig(link_entities=False))
+    res = sparql.select(
+        stmts,
+        """
+        SELECT ?day (COUNT(*) AS ?n) WHERE {
+          ?e <urn:p:at> ?t .
+          BIND(DAY(?t) AS ?day)
+          FILTER(TZ(?t) = "Z" && HOURS(?t) < 12)
+        } GROUP BY ?day
+        """,
+    )
+    return res.select(F.col("day").cast("long").alias("day"), "n")
 
 
 # ---------------------------------------------------------------------------
@@ -921,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_closure": q_kg_sparql_closure,
         "kg_sparql_minus": q_kg_sparql_minus,
+        "kg_sparql_nps": q_kg_sparql_nps,
+        "kg_sparql_datetime": q_kg_sparql_datetime,
         # omitted from the driver's r2 file by the 50-entry cap
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
@@ -1068,6 +1127,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_heads FROM (
               SELECT source FROM documents GROUP BY source HAVING COUNT(*) > 1
             )
+        """,
+        "kg_sparql_nps": """
+            -- !(type|source) leaves exactly the nchars triple per doc
+            SELECT 'urn:src:' || source AS src, COUNT(*) AS n_lit
+            FROM documents GROUP BY source
+        """,
+        "kg_sparql_datetime": """
+            SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n
+            FROM events WHERE hour(ts) < 12 GROUP BY 1
         """,
         "kg_flagship": """
             SELECT 'urn:repo:' || source AS graph,

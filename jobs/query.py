@@ -50,8 +50,8 @@ def main() -> int:
     ap.add_argument(
         "--format",
         default=None,
-        choices=["csv", "tsv", "json", "jsonl", "nt", "nq"],
-        help="result format for --out: W3C SPARQL Results CSV/TSV/JSON, "
+        choices=["csv", "tsv", "json", "jsonl", "xml", "nt", "nq"],
+        help="result format for --out: W3C SPARQL Results CSV/TSV/JSON/XML, "
         "distributed JSONL bindings, or N-Triples/N-Quads for "
         "statement-shaped (CONSTRUCT) results. Default: nt for "
         "CONSTRUCT, tsv for SELECT",

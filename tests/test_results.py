@@ -128,9 +128,57 @@ def test_null_bindings_serialize_empty(spark):
 
 
 def test_write_results_dispatch(bindings, tmp_path):
-    for fmt in ("csv", "tsv", "json"):
+    for fmt in ("csv", "tsv", "json", "xml"):
         p = str(tmp_path / f"r.{fmt}")
         results.write_results(bindings, p, fmt)
         assert os.path.getsize(p) > 0
     with pytest.raises(ValueError, match="unknown result format"):
-        results.write_results(bindings, str(tmp_path / "x"), "xml")
+        results.write_results(bindings, str(tmp_path / "x"), "rdfa")
+
+
+def test_xml_envelope(bindings):
+    """W3C SPARQL Results XML: well-formed, namespace, head vars,
+    term typing identical to the JSON serializer."""
+    import xml.etree.ElementTree as ET
+
+    doc = results.sparql_results_xml(bindings)
+    root = ET.fromstring(doc)
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    assert root.tag == ns + "sparql"
+    head = root.find(ns + "head")
+    assert [v.get("name") for v in head] == ["d", "v"]
+    rows = root.findall(f"{ns}results/{ns}result")
+    assert len(rows) == 3
+    terms = {}
+    for r in rows:
+        for b in r.findall(ns + "binding"):
+            if b.get("name") == "v":
+                child = b[0]
+                terms[child.text] = child.tag
+    # escaping survives the XML round-trip; IRI-shaped value → <uri>
+    assert terms['say "hi",\nok'] == ns + "literal"
+    assert terms["http://ex.org/x"] == ns + "uri"
+
+
+def test_xml_ask_envelope(spark):
+    stmts = spark.createDataFrame(
+        [("urn:s", "urn:p", "o", "literal",
+          "http://www.w3.org/2001/XMLSchema#string", None, "g")],
+        SCHEMA,
+    )
+    out = sparql.ask(stmts, "ASK { <urn:s> <urn:p> ?o }")
+    doc = results.sparql_results_xml(out)
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(doc)
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    assert root.find(ns + "boolean").text == "true"
+
+
+def test_write_results_xml(bindings, tmp_path):
+    path = str(tmp_path / "out.xml")
+    results.write_results(bindings, path, "xml")
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    assert root.tag.endswith("sparql")

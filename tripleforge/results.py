@@ -177,12 +177,56 @@ def sparql_results_json(df: DataFrame, limit: int | None = None) -> dict:
     }
 
 
+def sparql_results_xml(df: DataFrame, limit: int | None = None) -> str:
+    """Driver-side W3C SPARQL Query Results XML Format document
+    (application/sparql-results+xml). Term classification is shared
+    with the JSON serializer (one source of truth: _binding_struct via
+    bindings_json_lines), so a value serializes as <uri> in XML exactly
+    when it serializes as "type": "uri" in JSON. ASK results (single
+    boolean ``ask`` column) emit the <boolean> envelope. Collects —
+    CLI-scale only."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    ns = "http://www.w3.org/2005/sparql-results#"
+    cols = df.columns
+    if cols == ["ask"]:
+        val = "true" if df.first()["ask"] else "false"
+        return (
+            '<?xml version="1.0"?>\n'
+            f'<sparql xmlns="{ns}"><head/>'
+            f"<boolean>{val}</boolean></sparql>\n"
+        )
+    doc = sparql_results_json(df, limit=limit)
+    out = ['<?xml version="1.0"?>', f'<sparql xmlns="{ns}">', "<head>"]
+    out += [f"<variable name={quoteattr(v)}/>" for v in cols]
+    out += ["</head>", "<results>"]
+    for binding in doc["results"]["bindings"]:
+        out.append("<result>")
+        for var in cols:
+            b = binding.get(var)
+            if b is None:
+                continue
+            val = escape(b["value"])
+            if b["type"] == "uri":
+                term = f"<uri>{val}</uri>"
+            elif "datatype" in b:
+                term = f"<literal datatype={quoteattr(b['datatype'])}>{val}</literal>"
+            elif "xml:lang" in b:
+                term = f"<literal xml:lang={quoteattr(b['xml:lang'])}>{val}</literal>"
+            else:
+                term = f"<literal>{val}</literal>"
+            out.append(f"<binding name={quoteattr(var)}>{term}</binding>")
+        out.append("</result>")
+    out += ["</results>", "</sparql>", ""]
+    return "\n".join(out)
+
+
 def write_results(
     df: DataFrame, path: str, fmt: str, limit: int | None = None
 ) -> None:
     """Dispatch on format: csv | tsv | json (W3C envelope) | jsonl
-    (distributed bindings) | nt/nq (statement-shaped CONSTRUCT output,
-    via io.write_ntriples)."""
+    (distributed bindings) | xml (W3C XML envelope) | nt/nq
+    (statement-shaped CONSTRUCT output, via io.write_ntriples)."""
     if fmt == "csv":
         write_csv(df, path)
     elif fmt == "tsv":
@@ -190,6 +234,9 @@ def write_results(
     elif fmt == "json":
         with open(path, "w", encoding="utf-8") as fh:
             json.dump(sparql_results_json(df, limit=limit), fh, indent=1)
+    elif fmt == "xml":
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(sparql_results_xml(df, limit=limit))
     elif fmt == "jsonl":
         bindings_json_lines(df).write.mode("overwrite").text(path)
     elif fmt in ("nt", "nq"):
