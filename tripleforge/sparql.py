@@ -528,8 +528,10 @@ def _parse_select_cursor(c: _Cursor) -> tuple[list[tuple], list[tuple], dict, bo
             projected.append(("exprproj", v[1:], tree))
             continue
         break
+    dataset = _parse_dataset(c)
     groups = _parse_group_pattern(c)
     mods = _parse_modifiers(c)
+    mods["dataset"] = dataset
     return projected, groups, mods, distinct
 
 
@@ -1265,6 +1267,140 @@ def _compile_filter(spec: tuple, bound: set[str]):
     return ops[op](F.lit(val))
 
 
+# ---------------------------------------------------------------------------
+# Dataset clauses (SPARQL 1.1 §13.2): FROM builds the query's default
+# graph (merge of the listed graphs), FROM NAMED restricts the named
+# graphs visible to GRAPH clauses. Compiled as a "dataset view": the
+# default-graph rows are re-labelled with a reserved marker graph and
+# unioned with the FROM NAMED subset, then every non-GRAPH pattern is
+# rewritten to match only the marker — plain bound-graph scans, no new
+# operators. Graph-bucket partition pruning is applied inside the view
+# (the marker invalidates per-row bucket values, so the bucket column
+# is dropped afterwards).
+# ---------------------------------------------------------------------------
+_DATASET_DEFAULT_G = "urn:sparql:dataset:default"
+
+
+def _parse_dataset(c: _Cursor) -> tuple[list[str], list[str]]:
+    """(FROM <g> | FROM NAMED <g>)* → (default graphs, named graphs)."""
+    default: list[str] = []
+    named: list[str] = []
+    while _kw(c.peek(), "FROM"):
+        c.next()
+        if _kw(c.peek(), "NAMED"):
+            c.next()
+            named.append(c.pattern_term("FROM NAMED"))
+        else:
+            default.append(c.pattern_term("FROM"))
+    return default, named
+
+
+def _dataset_view(
+    statements: DataFrame,
+    default: list[str],
+    named: list[str],
+    n_buckets: int | None = None,
+) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    cols = [col for col in statements.columns if col != "graph_bucket"]
+
+    def restrict(graphs: list[str]) -> DataFrame:
+        if not graphs:
+            return statements.limit(0)
+        df = statements.where(F.col("graph").isin(graphs))
+        if n_buckets and "graph_bucket" in statements.columns:
+            df = df.where(
+                reduce(
+                    lambda a, b: a | b,
+                    [
+                        F.col("graph_bucket")
+                        == F.pmod(F.xxhash64(F.lit(g)), F.lit(n_buckets)).cast("int")
+                        for g in graphs
+                    ],
+                )
+            )
+        return df
+
+    d = restrict(default).withColumn("graph", F.lit(_DATASET_DEFAULT_G))
+    return d.select(*cols).unionByName(restrict(named).select(*cols))
+
+
+def _dataset_pattern(p: Pattern) -> Pattern:
+    import dataclasses
+
+    if p.g is None:
+        return dataclasses.replace(p, g=_DATASET_DEFAULT_G)
+    return p
+
+
+def _dataset_rewrite_group(grp: tuple) -> tuple:
+    """Rewrite one UNION arm for dataset-view evaluation: non-GRAPH
+    patterns match the reserved default marker; GRAPH ?var patterns
+    additionally filter the marker out of the variable's bindings."""
+    patterns, ops, optional_blocks = grp
+    new_patterns = [_dataset_pattern(p) for p in patterns]
+    new_ops: list[tuple] = []
+    for op in ops:
+        if op[0] == "minus":
+            new_ops.append(("minus", [_dataset_pattern(p) for p in op[1]]))
+        elif op[0] == "exists":
+            new_ops.append(
+                ("exists", [_dataset_pattern(p) for p in op[1]], op[2])
+            )
+        elif op[0] == "subquery":
+            projected, sgroups, smods, sdistinct = op[1]
+            new_ops.append(
+                (
+                    "subquery",
+                    (
+                        projected,
+                        [_dataset_rewrite_group(g) for g in sgroups],
+                        smods,
+                        sdistinct,
+                    ),
+                )
+            )
+        else:
+            new_ops.append(op)
+    new_opts = []
+    for block in optional_blocks:
+        for p in block:
+            if p.g is not None and p.g.startswith("?"):
+                # the marker-exclusion filter would also drop the
+                # NULL rows an unmatched OPTIONAL must keep
+                raise SparqlError(
+                    "GRAPH ?var inside OPTIONAL is not supported together "
+                    "with FROM/FROM NAMED"
+                )
+        new_opts.append([_dataset_pattern(p) for p in block])
+    gvars = {
+        p.g[1:]
+        for p in patterns
+        if p.g is not None and p.g.startswith("?")
+    }
+    for v in sorted(gvars):
+        new_ops.append(("cmp", v, "!=", _DATASET_DEFAULT_G, False))
+    return new_patterns, new_ops, new_opts
+
+
+def _apply_dataset(
+    statements: DataFrame,
+    groups: list[tuple],
+    dataset: tuple[list[str], list[str]] | None,
+    n_buckets: int | None,
+) -> tuple[DataFrame, list[tuple], int | None]:
+    """No-op without dataset clauses; else swap in the dataset view and
+    the rewritten groups. n_buckets comes back None because the view
+    drops the bucket column after pruning inside it."""
+    if not dataset or not (dataset[0] or dataset[1]):
+        return statements, groups, n_buckets
+    view = _dataset_view(statements, dataset[0], dataset[1], n_buckets)
+    return view, [_dataset_rewrite_group(g) for g in groups], None
+
+
 def _parse_group_pattern(
     c: _Cursor,
 ) -> list[tuple[list[Pattern], list[tuple], list[list[Pattern]]]]:
@@ -1612,6 +1748,9 @@ def _compile_select(
     n_buckets: int | None = None,
 ) -> DataFrame:
     projected, groups, mods, distinct = parsed
+    statements, groups, n_buckets = _apply_dataset(
+        statements, groups, mods.get("dataset"), n_buckets
+    )
     exprprojs = [it for it in projected if it[0] == "exprproj"]
     out = _solutions(
         statements, groups, allow_cartesian=allow_cartesian, n_buckets=n_buckets,
@@ -1709,11 +1848,15 @@ def ask(
     if not _kw(c.peek(), "ASK"):
         raise SparqlError("expected ASK")
     c.next()
+    dataset = _parse_dataset(c)
     # ASK's group pattern is WHERE-optional in SPARQL; accept both
     if not _kw(c.peek(), "WHERE"):
         c.toks.insert(c.i, ("WORD", "WHERE"))
     groups = _parse_group_pattern(c)
     _parse_modifiers(c)  # tolerate (and ignore) trailing modifiers
+    statements, groups, n_buckets = _apply_dataset(
+        statements, groups, dataset, n_buckets
+    )
     sol = _solutions(
         statements, groups, allow_cartesian=allow_cartesian, n_buckets=n_buckets
     )
@@ -1878,7 +2021,7 @@ def _template_term(c: _Cursor, position: str) -> tuple:
 def parse_construct(
     text: str,
 ) -> tuple[list[tuple], list[tuple], int | None]:
-    """→ (template triples, UNION groups, limit)."""
+    """→ (template triples, UNION groups, limit, dataset clauses)."""
     c = _Cursor(_tokenize(text))
     c.prologue()
     if not _kw(c.peek(), "CONSTRUCT"):
@@ -1903,11 +2046,12 @@ def parse_construct(
         template.append((s, p, o, None))
     if not template:
         raise SparqlError("empty CONSTRUCT template")
+    dataset = _parse_dataset(c)
     groups = _parse_group_pattern(c)
     mods = _parse_modifiers(c)
     if mods["group_by"] or mods["order_by"] or mods["offset"]:
         raise SparqlError("CONSTRUCT supports only the LIMIT modifier")
-    return template, groups, mods["limit"]
+    return template, groups, mods["limit"], dataset
 
 
 def construct(
@@ -1922,7 +2066,10 @@ def construct(
     reference's CONSTRUCT-to-file path."""
     from pyspark.sql import functions as F
 
-    template, groups, limit = parse_construct(text)
+    template, groups, limit, dataset = parse_construct(text)
+    statements, groups, n_buckets = _apply_dataset(
+        statements, groups, dataset, n_buckets
+    )
     sol = _solutions(
         statements, groups, allow_cartesian=allow_cartesian,
         carry_meta=True, n_buckets=n_buckets,
