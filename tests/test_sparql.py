@@ -661,3 +661,78 @@ def test_connected_chain_bgp_does_not_raise(spark):
             stmts,
             [Pattern(s="?a", p="urn:p", o="?b"), Pattern(s="?x", p="urn:q", o="?y")],
         )
+
+
+def test_modify_using_scopes_where(spark, cat_root):
+    """USING <g> makes g the WHERE clause's default graph (SPARQL 1.1
+    §3.1.3): only g2's match drives the INSERT; g1's rows don't."""
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    _seed_store(spark, cat)
+    sparql.execute_update(
+        spark, cat,
+        """
+        INSERT { GRAPH <urn:out> { ?s <urn:p:seen> ?v } }
+        USING <urn:g2>
+        WHERE { ?s <urn:p:age> ?v }
+        """,
+        run_id="u1",
+    )
+    rows = {
+        (r.subj, r.pred, r.obj, r.graph)
+        for r in cat.read_statements()
+        .where("graph = 'urn:out'")
+        .select("subj", "pred", "obj", "graph")
+        .collect()
+    }
+    # only urn:a has an age in g2; urn:b's age lives in g1 only
+    assert rows == {("urn:a", "urn:p:seen", "30", "urn:out")}
+
+
+def test_modify_using_named_graph_var(spark, cat_root):
+    """USING NAMED restricts GRAPH ?g in the WHERE clause; the bound
+    graph flows into the template."""
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    _seed_store(spark, cat)
+    sparql.execute_update(
+        spark, cat,
+        """
+        INSERT { GRAPH ?g { ?s <urn:p:flag> "x" } }
+        USING NAMED <urn:g2>
+        WHERE { GRAPH ?g { ?s <urn:p:age> ?v } }
+        """,
+        run_id="u2",
+    )
+    rows = {
+        (r.subj, r.graph)
+        for r in cat.read_statements()
+        .where("pred = 'urn:p:flag'")
+        .select("subj", "graph")
+        .collect()
+    }
+    assert rows == {("urn:a", "urn:g2")}
+
+
+def test_modify_using_overrides_with(spark, cat_root):
+    """When USING is present, WITH no longer scopes the WHERE clause
+    (it still provides the templates' default graph)."""
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    _seed_store(spark, cat)
+    sparql.execute_update(
+        spark, cat,
+        """
+        WITH <urn:tgt>
+        INSERT { ?s <urn:p:mark> "y" }
+        USING <urn:g1>
+        WHERE { ?s <urn:p:name> ?n }
+        """,
+        run_id="u3",
+    )
+    rows = {
+        (r.subj, r.graph)
+        for r in cat.read_statements()
+        .where("pred = 'urn:p:mark'")
+        .select("subj", "graph")
+        .collect()
+    }
+    # WHERE matched in g1 (name lives there); template wrote to WITH's graph
+    assert rows == {("urn:a", "urn:tgt")}

@@ -233,3 +233,33 @@ def test_new_fns_no_python_in_plan(df):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# -- GROUP BY expressions (§19.8 GroupCondition) ------------------------------
+
+def test_group_by_expression_aliased(df):
+    out = sparql.select(
+        df,
+        "SELECT ?y (COUNT(*) AS ?n) WHERE { ?d <urn:p:ts> ?t } "
+        "GROUP BY (YEAR(?t) AS ?y)",
+    )
+    got = {(r["y"], r["n"]) for r in out.collect()}
+    assert got == {(2024, 1), (2021, 1), (2020, 1), (2011, 1)}
+
+
+def test_group_by_builtin_unaliased(df):
+    out = sparql.select(
+        df,
+        "SELECT (COUNT(*) AS ?n) WHERE { ?d <urn:p:ts> ?t } GROUP BY TZ(?t)",
+    )
+    # Z (3 rows counting d1,d2), "" (d3), -05:00 (d4)
+    assert sorted(r["n"] for r in out.collect()) == [1, 1, 2]
+
+
+def test_group_by_var_and_expression(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d ?y (COUNT(*) AS ?c) WHERE { ?d <urn:p:ts> ?t } "
+        "GROUP BY ?d (YEAR(?t) AS ?y)",
+    )
+    assert out.count() == 4

@@ -1281,17 +1281,18 @@ def _compile_filter(spec: tuple, bound: set[str]):
 _DATASET_DEFAULT_G = "urn:sparql:dataset:default"
 
 
-def _parse_dataset(c: _Cursor) -> tuple[list[str], list[str]]:
-    """(FROM <g> | FROM NAMED <g>)* → (default graphs, named graphs)."""
+def _parse_dataset(c: _Cursor, kw: str = "FROM") -> tuple[list[str], list[str]]:
+    """(FROM <g> | FROM NAMED <g>)* → (default graphs, named graphs).
+    With ``kw="USING"`` parses the Update-form equivalent (§3.1.3)."""
     default: list[str] = []
     named: list[str] = []
-    while _kw(c.peek(), "FROM"):
+    while _kw(c.peek(), kw):
         c.next()
         if _kw(c.peek(), "NAMED"):
             c.next()
-            named.append(c.pattern_term("FROM NAMED"))
+            named.append(c.pattern_term(f"{kw} NAMED"))
         else:
-            default.append(c.pattern_term("FROM"))
+            default.append(c.pattern_term(kw))
     return default, named
 
 
@@ -1632,10 +1633,42 @@ def _parse_modifiers(c: _Cursor) -> dict:
         c.next()
         if not _kw(c.next(), "BY"):
             raise SparqlError("expected BY after GROUP")
-        while c.peek() is not None and c.peek()[0] == "VAR":
-            mods["group_by"].append(c.next()[1][1:])
+        # GroupCondition (§19.8): Var | '(' Expr ('AS' Var)? ')' |
+        # BuiltInCall — expression conditions carry an alias (given or
+        # synthesized) that becomes a groupable/projectable column
+        while True:
+            t = c.peek()
+            if t is not None and t[0] == "VAR":
+                mods["group_by"].append(c.next()[1][1:])
+                continue
+            if t == ("PUNCT", "("):
+                c.next()
+                tree = _parse_expression(c)
+                alias = None
+                if _kw(c.peek(), "AS"):
+                    c.next()
+                    k, v = c.next()
+                    if k != "VAR":
+                        raise SparqlError("GROUP BY ... AS needs a variable")
+                    alias = v[1:]
+                if c.next() != ("PUNCT", ")"):
+                    raise SparqlError("unterminated GROUP BY ( expression )")
+                if alias is None:
+                    alias = f"__group{len(mods['group_by'])}"
+                mods["group_by"].append(("expr", alias, tree))
+                continue
+            if (
+                t is not None
+                and t[0] in ("WORD", "KW", "SPARQL_KW", "GRAPHKW")
+                and t[1].upper() in _FN_NAMES
+            ):
+                tree = _parse_primary(c)
+                alias = f"__group{len(mods['group_by'])}"
+                mods["group_by"].append(("expr", alias, tree))
+                continue
+            break
         if not mods["group_by"]:
-            raise SparqlError("GROUP BY needs at least one variable")
+            raise SparqlError("GROUP BY needs at least one condition")
     if _kw(c.peek(), "HAVING"):
         c.next()
         mods["having"] = _parse_constraint(c)
@@ -1752,14 +1785,23 @@ def _compile_select(
         statements, groups, mods.get("dataset"), n_buckets
     )
     exprprojs = [it for it in projected if it[0] == "exprproj"]
+    group_exprs = [g for g in mods["group_by"] if isinstance(g, tuple)]
     out = _solutions(
         statements, groups, allow_cartesian=allow_cartesian, n_buckets=n_buckets,
-        carry_meta=any(_expr_needs_meta(it[2]) for it in exprprojs),
+        carry_meta=any(
+            _expr_needs_meta(t)
+            for t in (
+                [it[2] for it in exprprojs] + [g[2] for g in group_exprs]
+            )
+        ),
     )
     bound = set(out.columns)
     aggs = [it for it in projected if it[0] == "agg"]
     plain = [it[1] for it in projected if it[0] == "var"]
-    missing = [v for v in plain if v not in bound] + [
+    group_aliases = {
+        g[1] for g in mods["group_by"] if isinstance(g, tuple)
+    }
+    missing = [v for v in plain if v not in bound and v not in group_aliases] + [
         it[2] for it in aggs if it[2] != "*" and it[2] not in bound
     ]
     if missing:
@@ -1772,13 +1814,23 @@ def _compile_select(
                 "expression projections are not supported together with "
                 "aggregates/GROUP BY"
             )
-        group = mods["group_by"]
+        # expression group conditions materialize as alias columns
+        # ahead of the aggregate (SPARQL §19.8 GroupCondition)
+        group: list[str] = []
+        for gitem in mods["group_by"]:
+            if isinstance(gitem, tuple):
+                _, alias, tree = gitem
+                col, _ = _compile_expr(tree, set(out.columns))
+                out = out.withColumn(alias, col)
+                group.append(alias)
+            else:
+                group.append(gitem)
         stray = [v for v in plain if v not in group]
         if stray:
             raise SparqlError(
                 f"non-aggregate projection {stray} must appear in GROUP BY"
             )
-        bad_group = [v for v in group if v not in bound]
+        bad_group = [v for v in group if v not in set(out.columns)]
         if bad_group:
             raise SparqlError(f"GROUP BY variables not bound: {bad_group}")
         agg_exprs = [_compile_agg(it) for it in aggs]
@@ -2437,6 +2489,7 @@ def execute_update(
             fn = update_mod.insert_data if op == "insert" else update_mod.delete_data
             return fn(catalog, df, graph=with_graph, run_id=run_id)
         delete_tmpl = insert_tmpl = None
+        where_dataset: tuple[list[str], list[str]] | None = None
         if op == "delete" and _kw(nxt, "WHERE"):
             groups = _parse_group_pattern(c)
             if len(groups) > 1:
@@ -2458,12 +2511,18 @@ def execute_update(
                     insert_tmpl = _parse_template_block(c)
             else:
                 insert_tmpl = tmpl
+            using = _parse_dataset(c, kw="USING")
             groups = _parse_group_pattern(c)
             if len(groups) > 1:
                 raise SparqlError("UNION is not supported in updates")
             patterns, ops, opt_blocks = groups[0]
             _parse_modifiers(c)
-            if with_graph is not None:
+            if using[0] or using[1]:
+                # USING/USING NAMED scope the WHERE evaluation (and
+                # override WITH there — SPARQL 1.1 §3.1.3); WITH still
+                # provides the templates' default graph
+                where_dataset = using
+            elif with_graph is not None:
                 patterns = [
                     Pattern(s=pt.s, p=pt.p, o=pt.o, g=pt.g or with_graph)
                     for pt in patterns
@@ -2473,15 +2532,18 @@ def execute_update(
                      for pt in block]
                     for block in opt_blocks
                 ]
+        store = catalog.read_statements()
+        nb = getattr(catalog, "n_buckets", None)
+        if where_dataset is not None:
+            store, rewritten, nb = _apply_dataset(
+                store, [(patterns, ops, opt_blocks)], where_dataset, nb
+            )
+            patterns, ops, opt_blocks = rewritten[0]
         sol = bgp(
-            catalog.read_statements(), patterns, carry_meta=True,
-            n_buckets=getattr(catalog, "n_buckets", None),
+            store, patterns, carry_meta=True, n_buckets=nb,
             optional_groups=opt_blocks,
         )
-        sol = _apply_ops(
-            sol, ops, statements=catalog.read_statements(),
-            n_buckets=getattr(catalog, "n_buckets", None),
-        )
+        sol = _apply_ops(sol, ops, statements=store, n_buckets=nb)
         deletes = (
             canonicalize(_instantiate(sol, delete_tmpl, with_graph))
             if delete_tmpl
