@@ -243,5 +243,9 @@ def write_results(
         from tripleforge.io import write_ntriples
 
         write_ntriples(df, path, quads=(fmt == "nq"), mode="overwrite")
+    elif fmt in ("ttl", "trig"):
+        from tripleforge.turtle import write_turtle
+
+        write_turtle(df, path, quads=(fmt == "trig"))
     else:
         raise ValueError(f"unknown result format {fmt!r}")
