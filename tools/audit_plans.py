@@ -225,6 +225,51 @@ def main() -> int:
         sparql_mod.describe(kg, "DESCRIBE <urn:doc:1>"),
         [("broadcast left-semi", r"BroadcastHashJoin.*LeftSemi", True)],
     )
+    # 12 (r3b). negated property set: pushed NOT IN predicate scan —
+    # no join anywhere in the plan
+    nps_df = sparql_mod.select(
+        kg, "SELECT ?s ?o WHERE { ?s !(<urn:p:type>|<urn:p:source>) ?o }"
+    )
+    audit(
+        "sparql_nps_predicate_scan",
+        nps_df,
+        [
+            ("no join", r"Join", False),
+            ("NOT IN filter", r"NOT pred.* IN|Filter", True),
+        ],
+    )
+    # 13 (r3b). FROM dataset clause: the view is filtered scans — the
+    # graph restriction is an IN predicate inside the scan filter, no
+    # join is introduced, and an all-empty arm (here: no FROM NAMED)
+    # is eliminated by Catalyst entirely (PropagateEmptyRelation), so
+    # a FROM-only query plans as ONE filtered scan with no Union
+    ds_df = sparql_mod.select(
+        kg,
+        "SELECT ?d ?n FROM <urn:repo:src0> FROM <urn:repo:src1> "
+        "WHERE { ?d <urn:p:nchars> ?n }",
+    )
+    audit(
+        "sparql_from_dataset_view",
+        ds_df,
+        [
+            ("graph IN filter", r" IN \(urn:repo:src0,urn:repo:src1\)", True),
+            ("empty named arm eliminated (no union)", r"Union", False),
+            ("no join", r"Join", False),
+        ],
+    )
+    # 14 (r3b). Turtle writer: exactly two hash aggregates (per
+    # (subj,pred) then per subj), zero Python
+    from tripleforge.turtle import turtle_blocks
+
+    audit(
+        "turtle_writer_two_aggregates",
+        turtle_blocks(kg, {"p": "urn:p:"}),
+        [
+            ("no Python eval", r"EvalPython|MapInPandas", False),
+            ("hash aggregate", r"HashAggregate", True),
+            ("object-list collect", r"collect_list", True),
+        ],
+    )
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("# PLANS — physical-plan audit (generated by tools/audit_plans.py)\n\n")
