@@ -259,13 +259,17 @@ def test_optional_group_all_or_nothing(df):
     }
 
 
-def test_filter_inside_optional_raises(df):
-    with pytest.raises(sparql.SparqlError, match="FILTER inside OPTIONAL"):
+def test_filter_inside_optional_outer_var_raises(df):
+    """Supported scope is the optional block's own bindings (pre-join
+    filter ≡ LeftJoin-condition there); a filter on an OUTER variable
+    needs join-time evaluation and is rejected loudly, not silently
+    mis-scoped."""
+    with pytest.raises(sparql.SparqlError, match="\\?n is not bound"):
         sparql.select(
             df,
             "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . "
             "OPTIONAL { ?d <urn:p:rel> ?r . FILTER(?n > 1) } }",
-        )
+        ).collect()
 
 
 def test_select_star_hides_meta_columns(df):
@@ -487,3 +491,53 @@ def test_values_single_var_undef_drops_constraint(df):
         "VALUES ?d { <urn:doc:1> UNDEF } }",
     )
     assert out.count() == 4  # UNDEF row admits every solution
+
+
+# -- FILTER/BIND scoped inside OPTIONAL (r3b; SPARQL §6.1/§18.2.2) -----------
+
+def test_filter_inside_optional_keeps_row(df):
+    """A failing FILTER inside OPTIONAL unbinds the optional vars but
+    keeps the required row — it must NOT eliminate it."""
+    out = sparql.select(
+        df,
+        """
+        SELECT ?d ?n WHERE {
+          ?d <urn:p:label> ?l .
+          OPTIONAL { ?d <urn:p:nchars> ?n . FILTER(?n > 400) }
+        }
+        """,
+    )
+    got = {(r["d"], r["n"]) for r in out.collect()}
+    # only doc3 (500) and doc4 (900) pass the inner filter; all four
+    # labelled docs survive
+    assert got == {
+        ("urn:doc:1", None), ("urn:doc:2", None),
+        ("urn:doc:3", "500"), ("urn:doc:4", "900"),
+    }
+
+
+def test_bind_inside_optional(df):
+    out = sparql.select(
+        df,
+        """
+        SELECT ?d ?k WHERE {
+          ?d <urn:p:label> ?l .
+          OPTIONAL { ?d <urn:p:nchars> ?n . BIND(?n * 10 AS ?k) FILTER(?k >= 5000) }
+        }
+        """,
+    )
+    got = {(r["d"], r["k"]) for r in out.collect()}
+    assert got == {
+        ("urn:doc:1", None), ("urn:doc:2", None),
+        ("urn:doc:3", 5000.0), ("urn:doc:4", 9000.0),
+    }
+
+
+def test_exists_inside_optional_rejected(df):
+    with pytest.raises(Exception, match="EXISTS inside OPTIONAL"):
+        sparql.select(
+            df,
+            "SELECT ?d WHERE { ?d <urn:p:label> ?l . "
+            "OPTIONAL { ?d <urn:p:nchars> ?n . "
+            "FILTER EXISTS { ?d <urn:p:extra1> ?e } } }",
+        )

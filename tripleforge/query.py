@@ -315,9 +315,13 @@ def bgp(
     allow_cartesian: bool = False,
     carry_meta: bool = False,
     n_buckets: int | None = None,
-    optional_groups: list[list[Pattern]] | None = None,
+    optional_groups: list | None = None,
 ) -> DataFrame:
     """Basic graph pattern: join pattern scans on shared variables.
+
+    ``optional_groups`` entries are either a list of Patterns or a
+    ``(patterns, transform)`` tuple whose transform (DataFrame →
+    DataFrame) applies block-scoped FILTER/BIND before the left join.
 
     Required patterns are ordered greedily by connectivity: seed with
     the most selective pattern (bound-term count), then repeatedly join
@@ -390,8 +394,16 @@ def bgp(
     # triple's variables when the spec says both-or-neither). Blocks of
     # one pattern (the legacy per-Pattern optional flag) reduce to the
     # old single left join.
-    blocks = [[pt] for pt in optionals] + [list(b) for b in (optional_groups or [])]
+    blocks = [[pt] for pt in optionals] + [
+        b if isinstance(b, tuple) else list(b) for b in (optional_groups or [])
+    ]
     for block in blocks:
+        # an optional group may carry a transform (FILTER/BIND scoped
+        # inside the block — compiled by the SPARQL layer) applied to
+        # the sub-BGP before the left join
+        transform = None
+        if isinstance(block, tuple):
+            block, transform = block
         if len(block) == 1:
             pt = block[0]
             if isinstance(pt.p, tuple):
@@ -411,6 +423,8 @@ def bgp(
                 carry_meta=carry_meta,
                 n_buckets=n_buckets,
             )
+        if transform is not None:
+            sub = transform(sub)
         dup_meta = [c for c in sub.columns if "__" in c and c in result.columns]
         if dup_meta:
             sub = sub.drop(*dup_meta)

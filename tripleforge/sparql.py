@@ -376,6 +376,31 @@ def _parse_path_expr(c: _Cursor) -> str | tuple:
     return ast
 
 
+def _optional_ops_transform(bops: list[tuple]):
+    """FILTER/BIND ops scoped inside an OPTIONAL block → a DataFrame
+    transform applied to the block's sub-BGP BEFORE the left-outer
+    join (SPARQL group scoping: the constraint belongs to the optional
+    group, so it can only drop/extend optional rows, never required
+    ones)."""
+
+    def transform(sub: DataFrame) -> DataFrame:
+        out = sub
+        for op in bops:
+            if op[0] == "expr":
+                out = out.where(_compile_filter(op, set(out.columns)))
+            elif op[0] == "bind":
+                _, alias, tree = op
+                if alias in out.columns:
+                    raise SparqlError(f"BIND alias ?{alias} is already bound")
+                col, _ = _compile_expr(tree, set(out.columns))
+                out = out.withColumn(alias, col)
+            else:  # pragma: no cover - parser only emits expr/bind here
+                raise SparqlError(f"unsupported op inside OPTIONAL: {op[0]}")
+        return out
+
+    return transform
+
+
 def _solutions(
     statements: DataFrame,
     groups: list[tuple],
@@ -389,7 +414,11 @@ def _solutions(
     group's expressions need them (LANG/DATATYPE/isIRI/…)."""
     sols = []
     for patterns, ops, optional_blocks in groups:
-        meta = carry_meta or _ops_need_meta(ops)
+        meta = carry_meta or _ops_need_meta(ops) or any(
+            _ops_need_meta(e[1])
+            for e in optional_blocks
+            if isinstance(e, tuple)
+        )
         if not patterns and ops and ops[0][0] == "subquery":
             # group consists of a subquery (± trailing ops): the
             # subquery's projection seeds the solution (sol=None)
@@ -398,7 +427,12 @@ def _solutions(
             sol = bgp(
                 statements, patterns, allow_cartesian=allow_cartesian,
                 carry_meta=meta, n_buckets=n_buckets,
-                optional_groups=optional_blocks,
+                optional_groups=[
+                    (e[0], _optional_ops_transform(e[1]))
+                    if isinstance(e, tuple)
+                    else e
+                    for e in optional_blocks
+                ],
             )
         sols.append(
             _apply_ops(
@@ -1367,7 +1401,8 @@ def _dataset_rewrite_group(grp: tuple) -> tuple:
         else:
             new_ops.append(op)
     new_opts = []
-    for block in optional_blocks:
+    for entry in optional_blocks:
+        block, bops = entry if isinstance(entry, tuple) else (entry, None)
         for p in block:
             if p.g is not None and p.g.startswith("?"):
                 # the marker-exclusion filter would also drop the
@@ -1376,7 +1411,8 @@ def _dataset_rewrite_group(grp: tuple) -> tuple:
                     "GRAPH ?var inside OPTIONAL is not supported together "
                     "with FROM/FROM NAMED"
                 )
-        new_opts.append([_dataset_pattern(p) for p in block])
+        rewritten = [_dataset_pattern(p) for p in block]
+        new_opts.append((rewritten, bops) if bops is not None else rewritten)
     gvars = {
         p.g[1:]
         for p in patterns
@@ -1426,17 +1462,38 @@ def _parse_group_pattern(
         ops: list[tuple] = []
         optional_blocks: list[list[Pattern]] = []
 
-        def sub_block(graph_term: str | None, kind: str) -> list[Pattern]:
+        def sub_block(
+            graph_term: str | None,
+            kind: str,
+            collect_ops: list[tuple] | None = None,
+        ) -> list[Pattern]:
             if c.next() != ("PUNCT", "{"):
                 raise SparqlError(f"expected '{{' after {kind}")
             block: list[Pattern] = []
-            triples_until_close(graph_term, block, sub=kind)
+            triples_until_close(graph_term, block, sub=kind, sub_ops=collect_ops)
             if not block:
                 raise SparqlError(f"empty {kind} block")
             return block
 
+        def parse_bind(sink: list[tuple]) -> None:
+            c.next()
+            if c.next() != ("PUNCT", "("):
+                raise SparqlError("expected '(' after BIND")
+            tree = _parse_expression(c)
+            if not _kw(c.next(), "AS"):
+                raise SparqlError("BIND needs AS ?var")
+            k, v = c.next()
+            if k != "VAR":
+                raise SparqlError("BIND AS needs a variable")
+            if c.next() != ("PUNCT", ")"):
+                raise SparqlError("unterminated BIND(...)")
+            sink.append(("bind", v[1:], tree))
+
         def triples_until_close(
-            graph_term: str | None, sink: list[Pattern], sub: str | None = None
+            graph_term: str | None,
+            sink: list[Pattern],
+            sub: str | None = None,
+            sub_ops: list[tuple] | None = None,
         ) -> None:
             while True:
                 t = c.peek()
@@ -1485,7 +1542,11 @@ def _parse_group_pattern(
                     if sub:
                         raise SparqlError(f"OPTIONAL inside {sub} is not supported")
                     c.next()
-                    optional_blocks.append(sub_block(graph_term, "OPTIONAL"))
+                    bops: list[tuple] = []
+                    block = sub_block(graph_term, "OPTIONAL", collect_ops=bops)
+                    # FILTER/BIND inside the block stay scoped to the
+                    # optional unit (applied BEFORE the left join)
+                    optional_blocks.append((block, bops) if bops else block)
                     continue
                 if _kw(t, "MINUS"):
                     if sub:
@@ -1494,6 +1555,15 @@ def _parse_group_pattern(
                     ops.append(("minus", sub_block(graph_term, "MINUS")))
                     continue
                 if _kw(t, "FILTER"):
+                    if sub == "OPTIONAL" and sub_ops is not None:
+                        c.next()
+                        nt = c.peek()
+                        if _kw(nt, "EXISTS") or _kw(nt, "NOT"):
+                            raise SparqlError(
+                                "FILTER [NOT] EXISTS inside OPTIONAL is not supported"
+                            )
+                        sub_ops.append(("expr", _parse_constraint(c)))
+                        continue
                     if sub:
                         raise SparqlError(f"FILTER inside {sub} is not supported")
                     c.next()
@@ -1513,20 +1583,12 @@ def _parse_group_pattern(
                     ops.append(("expr", _parse_constraint(c)))
                     continue
                 if _kw(t, "BIND"):
+                    if sub == "OPTIONAL" and sub_ops is not None:
+                        parse_bind(sub_ops)
+                        continue
                     if sub:
                         raise SparqlError(f"BIND inside {sub} is not supported")
-                    c.next()
-                    if c.next() != ("PUNCT", "("):
-                        raise SparqlError("expected '(' after BIND")
-                    tree = _parse_expression(c)
-                    if not _kw(c.next(), "AS"):
-                        raise SparqlError("BIND needs AS ?var")
-                    k, v = c.next()
-                    if k != "VAR":
-                        raise SparqlError("BIND AS needs a variable")
-                    if c.next() != ("PUNCT", ")"):
-                        raise SparqlError("unterminated BIND(...)")
-                    ops.append(("bind", v[1:], tree))
+                    parse_bind(ops)
                     continue
                 if _kw(t, "VALUES"):
                     c.next()
@@ -2528,9 +2590,17 @@ def execute_update(
                     for pt in patterns
                 ]
                 opt_blocks = [
-                    [Pattern(s=pt.s, p=pt.p, o=pt.o, g=pt.g or with_graph)
-                     for pt in block]
-                    for block in opt_blocks
+                    (
+                        [Pattern(s=pt.s, p=pt.p, o=pt.o, g=pt.g or with_graph)
+                         for pt in e[0]],
+                        e[1],
+                    )
+                    if isinstance(e, tuple)
+                    else [
+                        Pattern(s=pt.s, p=pt.p, o=pt.o, g=pt.g or with_graph)
+                        for pt in e
+                    ]
+                    for e in opt_blocks
                 ]
         store = catalog.read_statements()
         nb = getattr(catalog, "n_buckets", None)
@@ -2541,7 +2611,12 @@ def execute_update(
             patterns, ops, opt_blocks = rewritten[0]
         sol = bgp(
             store, patterns, carry_meta=True, n_buckets=nb,
-            optional_groups=opt_blocks,
+            optional_groups=[
+                (e[0], _optional_ops_transform(e[1]))
+                if isinstance(e, tuple)
+                else e
+                for e in opt_blocks
+            ],
         )
         sol = _apply_ops(sol, ops, statements=store, n_buckets=nb)
         deletes = (
