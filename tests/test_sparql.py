@@ -736,3 +736,34 @@ def test_modify_using_overrides_with(spark, cat_root):
     }
     # WHERE matched in g1 (name lives there); template wrote to WITH's graph
     assert rows == {("urn:a", "urn:tgt")}
+
+
+def test_trailing_values_clause(spark):
+    """Query-final VALUES (§10.2): restricts solutions and can bind
+    new variables; joins before GROUP BY (§18.2.4 algebra order)."""
+    df = spark.createDataFrame(
+        [(f"urn:d:{i}", "urn:p:n", str(i * 100), "literal",
+          "http://www.w3.org/2001/XMLSchema#integer", None, "g")
+         for i in range(1, 5)],
+        "subj string, pred string, obj string, obj_kind string, "
+        "obj_dt string, obj_lang string, graph string",
+    )
+    out = sparql.select(
+        df,
+        "SELECT ?d ?n WHERE { ?d <urn:p:n> ?n } "
+        "VALUES ?d { <urn:d:1> <urn:d:3> }",
+    )
+    assert sorted(r["d"] for r in out.collect()) == ["urn:d:1", "urn:d:3"]
+    out = sparql.select(
+        df,
+        "SELECT ?d ?tag WHERE { ?d <urn:p:n> ?n } "
+        'VALUES (?d ?tag) { (<urn:d:2> "two") (<urn:d:4> UNDEF) }',
+    )
+    assert sorted((r["d"], r["tag"]) for r in out.collect()) == [
+        ("urn:d:2", "two"), ("urn:d:4", None)]
+    agg = sparql.select(
+        df,
+        "SELECT (COUNT(*) AS ?c) WHERE { ?d <urn:p:n> ?n } "
+        "VALUES ?d { <urn:d:1> <urn:d:2> }",
+    )
+    assert agg.first()["c"] == 2

@@ -1684,12 +1684,65 @@ def _parse_group_pattern(
     return [parse_one_group()]
 
 
+def _parse_values_clause(c: _Cursor) -> tuple | None:
+    """Query-final VALUES (SPARQL §10.2 ValuesClause) → a
+    ``("values_multi", vars, rows)`` op joined onto the query's
+    solutions before grouping (§18.2.4 algebra order)."""
+    if not _kw(c.peek(), "VALUES"):
+        return None
+    c.next()
+    t = c.peek()
+    vnames: list[str] = []
+    rows: list[list[str | None]] = []
+    if t is not None and t[0] == "VAR":
+        vnames.append(c.next()[1][1:])
+        if c.next() != ("PUNCT", "{"):
+            raise SparqlError("expected '{' after VALUES ?var")
+        while c.peek() != ("PUNCT", "}"):
+            if c.peek() is None:
+                raise SparqlError("unterminated VALUES block")
+            if _kw(c.peek(), "UNDEF"):
+                c.next()
+                rows.append([None])
+            else:
+                rows.append([c.pattern_term("VALUES")])
+        c.next()
+        return ("values_multi", vnames, rows)
+    if t != ("PUNCT", "("):
+        raise SparqlError("VALUES needs ?var or (?var …)")
+    c.next()
+    while c.peek() is not None and c.peek()[0] == "VAR":
+        vnames.append(c.next()[1][1:])
+    if not vnames or c.next() != ("PUNCT", ")"):
+        raise SparqlError("bad VALUES (?var …) header")
+    if c.next() != ("PUNCT", "{"):
+        raise SparqlError("expected '{' after VALUES (…)")
+    while c.peek() != ("PUNCT", "}"):
+        if c.peek() is None:
+            raise SparqlError("unterminated VALUES block")
+        if c.next() != ("PUNCT", "("):
+            raise SparqlError("VALUES rows are '(term …)'")
+        row: list[str | None] = []
+        for _ in vnames:
+            if _kw(c.peek(), "UNDEF"):
+                c.next()
+                row.append(None)
+            else:
+                row.append(c.pattern_term("VALUES"))
+        if c.next() != ("PUNCT", ")"):
+            raise SparqlError("unterminated VALUES row")
+        rows.append(row)
+    c.next()
+    return ("values_multi", vnames, rows)
+
+
 def _parse_modifiers(c: _Cursor) -> dict:
     """Solution modifiers after the group pattern: GROUP BY ?v…,
-    ORDER BY [ASC|DESC](?v)…, OFFSET n, LIMIT n — consumes to end."""
+    ORDER BY [ASC|DESC](?v)…, OFFSET n, LIMIT n, and a trailing
+    VALUES clause — consumes to end."""
     mods: dict = {
         "group_by": [], "order_by": [], "offset": None, "limit": None,
-        "having": None,
+        "having": None, "values": None,
     }
     if _kw(c.peek(), "GROUP"):
         c.next()
@@ -1784,6 +1837,7 @@ def _parse_modifiers(c: _Cursor) -> dict:
         if k != "INTEGER":
             raise SparqlError("LIMIT needs an integer")
         mods["limit"] = int(v)
+    mods["values"] = _parse_values_clause(c)
     if c.peek() is not None:
         raise SparqlError(f"trailing tokens after query: {c.peek()!r}")
     return mods
@@ -1857,6 +1911,9 @@ def _compile_select(
             )
         ),
     )
+    if mods.get("values") is not None:
+        # query-final VALUES joins before grouping (§18.2.4 order)
+        out = _apply_ops(out, [mods["values"]])
     bound = set(out.columns)
     aggs = [it for it in projected if it[0] == "agg"]
     plain = [it[1] for it in projected if it[0] == "var"]
