@@ -385,6 +385,41 @@ def q_kg_sparql_nps(spark, sf):
     )
 
 
+def q_kg_sparql_from(spark, sf):
+    """FROM dataset clause (A27 ext, r3b): restricts the default graph
+    to one named graph — compiles to a single filtered scan (the empty
+    named arm is eliminated by Catalyst; see PLANS.md)."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    return sparql.select(
+        stmts,
+        """
+        SELECT (COUNT(*) AS ?n_docs) (SUM(?n) AS ?sum_chars)
+        FROM <urn:repo:src0>
+        WHERE { ?d <urn:p:nchars> ?n }
+        """,
+    ).select("n_docs", F.col("sum_chars").cast("long").alias("sum_chars"))
+
+
+def q_kg_sparql_optfilter(spark, sf):
+    """FILTER scoped inside OPTIONAL (r3b): the inner constraint
+    unbinds the optional variable without dropping required rows —
+    COUNT(*) keeps every doc, COUNT(?big) counts only matches."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    return sparql.select(
+        stmts,
+        """
+        SELECT (COUNT(*) AS ?n_rows) (COUNT(?big) AS ?n_big) WHERE {
+          ?d <urn:p:source> ?s .
+          OPTIONAL { ?d <urn:p:nchars> ?big . FILTER(?big >= 300) }
+        }
+        """,
+    )
+
+
 def _ts_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One xsd:dateTime triple per event — exercises dateTime literal
     parsing + canonicalization and the §17.4.5 accessor functions."""
@@ -980,6 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_minus": q_kg_sparql_minus,
         "kg_sparql_nps": q_kg_sparql_nps,
         "kg_sparql_datetime": q_kg_sparql_datetime,
+        "kg_sparql_from": q_kg_sparql_from,
+        "kg_sparql_optfilter": q_kg_sparql_optfilter,
         # omitted from the driver's r2 file by the 50-entry cap
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
@@ -1136,6 +1173,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_datetime": """
             SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS n
             FROM events WHERE hour(ts) < 12 GROUP BY 1
+        """,
+        "kg_sparql_from": """
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE source = 'src0'
+        """,
+        "kg_sparql_optfilter": """
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(CASE WHEN n_chars >= 300 THEN 1 END) AS n_big
+            FROM documents
         """,
         "kg_flagship": """
             SELECT 'urn:repo:' || source AS graph,
