@@ -767,3 +767,76 @@ def test_trailing_values_clause(spark):
         "VALUES ?d { <urn:d:1> <urn:d:2> }",
     )
     assert agg.first()["c"] == 2
+
+
+def test_delete_where_default_graph(spark, cat_root):
+    """DELETE WHERE must delete statements living in the DEFAULT graph
+    (null graph): the synthetic graph binder carries null as a value,
+    not as an unbound variable (r3b regression — was a silent no-op)."""
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    sparql.execute_update(
+        spark, cat,
+        "PREFIX p: <urn:p:> INSERT DATA { <urn:a> p:x 1 . <urn:a> p:y 2 . }",
+        run_id="dg1",
+    )
+    sparql.execute_update(
+        spark, cat, "DELETE WHERE { <urn:a> <urn:p:y> ?v }", run_id="dg2"
+    )
+    left = sorted(
+        (r.subj, r.pred, r.obj) for r in cat.read_statements().collect()
+    )
+    assert left == [("urn:a", "urn:p:x", "1")]
+
+
+def test_update_sequence(spark, cat_root):
+    """op1 ; op2 ; op3 — each operation sees the previous one's result;
+    the request prologue scopes every segment; ';' inside quad blocks
+    and string literals must not split."""
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    sparql.execute_update(
+        spark, cat,
+        """
+        PREFIX p: <urn:p:>
+        INSERT DATA { <urn:a> p:x 1 . <urn:a> p:y 2 ; p:z 3 . } ;
+        DELETE WHERE { <urn:a> p:y ?v } ;
+        INSERT DATA { <urn:b> p:x "semi;colon" . }
+        """,
+        run_id="seq",
+    )
+    rows = sorted(
+        (r.subj, r.pred, r.obj) for r in cat.read_statements().collect()
+    )
+    assert rows == [
+        ("urn:a", "urn:p:x", "1"),
+        ("urn:a", "urn:p:z", "3"),
+        ("urn:b", "urn:p:x", "semi;colon"),
+    ]
+    assert cat.latest_snapshot_id() == 3  # one snapshot per operation
+
+
+def test_construct_where_shorthand(spark):
+    """CONSTRUCT WHERE { … } (§16.2.1): the pattern doubles as the
+    template, with typed objects carried through."""
+    df = spark.createDataFrame(
+        [
+            ("urn:a", "urn:p:n", "42", "literal",
+             "http://www.w3.org/2001/XMLSchema#integer", None, "urn:g1"),
+            ("urn:b", "urn:p:n", "7", "literal",
+             "http://www.w3.org/2001/XMLSchema#integer", None, "urn:g2"),
+        ],
+        "subj string, pred string, obj string, obj_kind string, "
+        "obj_dt string, obj_lang string, graph string",
+    )
+    out = sparql.construct(df, "CONSTRUCT WHERE { ?s <urn:p:n> ?o }")
+    got = {(r.subj, r.obj, r.obj_dt) for r in out.collect()}
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    assert got == {("urn:a", "42", xsd_int), ("urn:b", "7", xsd_int)}
+    # dataset clause composes with the shorthand
+    out = sparql.construct(
+        df, "CONSTRUCT FROM <urn:g1> WHERE { ?s <urn:p:n> ?o }"
+    )
+    assert [(r.subj, r.obj) for r in out.collect()] == [("urn:a", "42")]
+    with pytest.raises(sparql.SparqlError):
+        sparql.construct(
+            df, "CONSTRUCT WHERE { ?s <urn:p:n> ?o . FILTER(?o > 1) }"
+        )

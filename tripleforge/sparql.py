@@ -2198,6 +2198,55 @@ def parse_construct(
     if not _kw(c.peek(), "CONSTRUCT"):
         raise SparqlError("expected CONSTRUCT")
     c.next()
+    if _kw(c.peek(), "WHERE") or _kw(c.peek(), "FROM"):
+        # CONSTRUCT WHERE { … } shorthand (§16.2.1): the WHERE pattern
+        # doubles as the template. The brace block is parsed twice —
+        # once as a template (typed terms) and once as the evaluation
+        # group — because pattern terms erase literal datatypes while
+        # template terms must keep them.
+        dataset = _parse_dataset(c)
+        if not _kw(c.peek(), "WHERE"):
+            raise SparqlError("expected WHERE in CONSTRUCT WHERE")
+        where_start = c.i
+        c.next()
+        if c.next() != ("PUNCT", "{"):
+            raise SparqlError("expected '{' after WHERE")
+        depth, inner_start = 1, c.i
+        while depth:
+            tk = c.next()  # raises at end = unterminated block
+            if tk == ("PUNCT", "{"):
+                depth += 1
+            elif tk == ("PUNCT", "}"):
+                depth -= 1
+        end = c.i
+        mods = _parse_modifiers(c)
+        if mods["group_by"] or mods["order_by"] or mods["offset"]:
+            raise SparqlError("CONSTRUCT supports only the LIMIT modifier")
+        tc = _Cursor(c.toks[inner_start : end - 1])
+        tc.prefixes = dict(c.prefixes)
+        template = []
+        while tc.peek() is not None:
+            if tc.peek() == ("PUNCT", "."):
+                tc.next()
+                continue
+            s = _template_term(tc, "subject")
+            p = _template_term(tc, "predicate")
+            o = _template_term(tc, "object")
+            template.append((s, p, o, None))
+        if not template:
+            raise SparqlError("empty CONSTRUCT WHERE pattern")
+        gc = _Cursor(c.toks[where_start:end])
+        gc.prefixes = dict(c.prefixes)
+        groups = _parse_group_pattern(gc)
+        patterns, gops, gopts = groups[0]
+        if len(groups) > 1 or gops or gopts or any(
+            isinstance(pt.p, tuple) or pt.g is not None for pt in patterns
+        ):
+            raise SparqlError(
+                "CONSTRUCT WHERE allows only plain default-graph triple "
+                "patterns (no UNION/OPTIONAL/FILTER/GRAPH/paths)"
+            )
+        return template, groups, mods["limit"], dataset
     if c.next() != ("PUNCT", "{"):
         raise SparqlError("expected '{' after CONSTRUCT")
     template: list[tuple] = []
@@ -2308,7 +2357,11 @@ def _instantiate(
             & F.col("pred").isNotNull()
             & F.col("obj").isNotNull()
         )
-        if g is not None and g[0] == "var":
+        if g is not None and g[0] == "var" and not g[1].startswith("__g"):
+            # a user-written GRAPH ?g template var bound to null is an
+            # unbound term → no statement; the SYNTHETIC ?__gN binders
+            # from _delete_where_compile legitimately carry null = the
+            # default graph, which the delete must target
             part = part.where(F.col("graph").isNotNull())
         parts.append(part)
     out = parts[0]
@@ -2475,6 +2528,51 @@ def _is_tvar(term: str | None) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+def _split_update_sequence(text: str) -> list[str]:
+    """Split an update request on top-level ``;`` separators (§3.1
+    UpdateUnit := Update (';' Update)*), respecting brace/paren depth,
+    all four string-literal quote forms, IRIREFs, and comments."""
+    parts: list[str] = []
+    depth = 0
+    i = start = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "#":
+            while i < n and text[i] != "\n":
+                i += 1
+        elif ch == "<":
+            j = text.find(">", i + 1)
+            i = n if j < 0 else j
+        elif ch in "\"'":
+            q = ch
+            if text[i : i + 3] == q * 3:
+                j = text.find(q * 3, i + 3)
+                i = n if j < 0 else j + 2
+            else:
+                i += 1
+                while i < n and text[i] != q:
+                    if text[i] == "\\":
+                        i += 1
+                    i += 1
+        elif ch in "{(":
+            depth += 1
+        elif ch in "})":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+        i += 1
+    parts.append(text[start:])
+    return [p for p in parts if p.strip()]
+
+
+_PROLOGUE_RE = re.compile(
+    r"^(?:\s*(?:PREFIX\s+\S+\s*<[^>]*>|BASE\s*<[^>]*>))*\s*",
+    re.IGNORECASE,
+)
+
+
 def execute_update(
     spark: SparkSession, catalog, text: str, run_id: str | None = None
 ) -> int:
@@ -2483,12 +2581,24 @@ def execute_update(
 
     - ``[WITH <g>] INSERT DATA { quads }`` / ``DELETE DATA { quads }``
     - ``[WITH <g>] DELETE WHERE { patterns }``
-    - ``[WITH <g>] [DELETE {tmpl}] [INSERT {tmpl}] WHERE { patterns }``
-      (one atomic snapshot; deletes then inserts, both against the
-      pre-update store — SPARQL 1.1 §3.1.3)
+    - ``[WITH <g>] [DELETE {tmpl}] [INSERT {tmpl}] WHERE { patterns }
+      [USING [NAMED] <g> …]`` (one atomic snapshot; deletes then
+      inserts, both against the pre-update store — SPARQL 1.1 §3.1.3)
     - ``LOAD <file-uri-or-path> [INTO GRAPH <g>]`` — the reference
       loader's core operation: parse RDF files from storage and commit
+    - an ``op1 ; op2 ; …`` sequence — each operation sees the previous
+      one's result (sequential snapshots; §3.1 UpdateUnit)
     """
+    segments = _split_update_sequence(text)
+    if len(segments) > 1:
+        # the request prologue (PREFIX/BASE) scopes the whole sequence
+        prologue = _PROLOGUE_RE.match(segments[0]).group(0)
+        sid = 0
+        for k, seg in enumerate(segments):
+            full = seg if k == 0 else prologue + seg
+            rid = f"{run_id}-{k}" if run_id is not None else None
+            sid = execute_update(spark, catalog, full, run_id=rid)
+        return sid
     from tripleforge import update as update_mod
     from tripleforge.canon import canonicalize
 
