@@ -840,3 +840,49 @@ def test_construct_where_shorthand(spark):
         sparql.construct(
             df, "CONSTRUCT WHERE { ?s <urn:p:n> ?o . FILTER(?o > 1) }"
         )
+
+
+def test_triple_block_syntax(spark):
+    """Turtle-style triple blocks in WHERE (r3b): predicate-object
+    lists (';'), object lists (','), blank-node property lists, and
+    labeled blank nodes as non-distinguished variables."""
+    df = spark.createDataFrame(
+        [
+            ("urn:a", "urn:p:n", "1", "literal",
+             "http://www.w3.org/2001/XMLSchema#integer", None, "g"),
+            ("urn:a", "urn:p:m", "2", "literal",
+             "http://www.w3.org/2001/XMLSchema#integer", None, "g"),
+            ("urn:b", "urn:p:n", "3", "literal",
+             "http://www.w3.org/2001/XMLSchema#integer", None, "g"),
+            ("urn:a", "urn:p:rel", "urn:c", "iri", None, None, "g"),
+            ("urn:c", "urn:p:n", "9", "literal",
+             "http://www.w3.org/2001/XMLSchema#integer", None, "g"),
+        ],
+        "subj string, pred string, obj string, obj_kind string, "
+        "obj_dt string, obj_lang string, graph string",
+    )
+    out = sparql.select(
+        df, "SELECT ?s ?n ?m WHERE { ?s <urn:p:n> ?n ; <urn:p:m> ?m }"
+    )
+    assert [(r.s, r.n, r.m) for r in out.collect()] == [("urn:a", "1", "2")]
+    out = sparql.select(df, 'SELECT ?s WHERE { ?s <urn:p:n> "1", "1" }')
+    assert [r.s for r in out.collect()] == ["urn:a"]
+    # bnode property list joins its inner patterns on the fresh var
+    out = sparql.select(
+        df, "SELECT ?n WHERE { [ <urn:p:n> ?n ; <urn:p:m> 2 ] }"
+    )
+    assert [r.n for r in out.collect()] == ["1"]
+    out = sparql.select(
+        df, "SELECT ?s WHERE { ?s <urn:p:rel> [ <urn:p:n> 9 ] }"
+    )
+    assert [r.s for r in out.collect()] == ["urn:a"]
+    # labeled bnodes: same label = same variable within the group
+    out = sparql.select(
+        df, "SELECT ?n WHERE { _:x <urn:p:n> ?n . _:x <urn:p:m> 2 }"
+    )
+    assert [r.n for r in out.collect()] == ["1"]
+    # SELECT * hides the non-distinguished variables
+    out = sparql.select(
+        df, "SELECT * WHERE { [ <urn:p:n> ?n ; <urn:p:m> 2 ] }"
+    )
+    assert out.columns == ["n"]

@@ -1461,6 +1461,21 @@ def _parse_group_pattern(
         patterns: list[Pattern] = []
         ops: list[tuple] = []
         optional_blocks: list[list[Pattern]] = []
+        # blank nodes in patterns are non-distinguished variables
+        # (SPARQL §4.1.4): labels map consistently within the group,
+        # [] and [ p o ] mint fresh ones
+        bnode_state = {"n": 0, "labels": {}}
+
+        def fresh_bnode_var() -> str:
+            # single underscore: a "__" name would read as a carry_meta
+            # column in bgp and be silently dropped from join keys
+            bnode_state["n"] += 1
+            return f"?_bn{bnode_state['n']}"
+
+        def label_bnode_var(label: str) -> str:
+            if label not in bnode_state["labels"]:
+                bnode_state["labels"][label] = fresh_bnode_var()
+            return bnode_state["labels"][label]
 
         def sub_block(
             graph_term: str | None,
@@ -1654,10 +1669,59 @@ def _parse_group_pattern(
                     if vals is not None:
                         ops.append(("in", var, vals))
                     continue
-                s = c.pattern_term("subject")
+                parse_triples_same_subject(graph_term, sink)
+
+        def term_or_bnode(
+            position: str, graph_term: str | None, sink: list[Pattern]
+        ) -> str:
+            t = c.peek()
+            if t == ("PUNCT", "["):
+                c.next()
+                var = fresh_bnode_var()
+                if c.peek() == ("PUNCT", "]"):
+                    c.next()
+                    return var
+                parse_predicate_object_list(var, graph_term, sink)
+                if c.next() != ("PUNCT", "]"):
+                    raise SparqlError("unterminated [ property list ]")
+                return var
+            if t is not None and t[0] == "BNODE":
+                c.next()
+                return label_bnode_var(t[1])
+            return c.pattern_term(position)
+
+        def parse_predicate_object_list(
+            subj: str, graph_term: str | None, sink: list[Pattern]
+        ) -> None:
+            while True:
                 p = _parse_path_expr(c)
-                o = c.pattern_term("object")
-                sink.append(Pattern(s=s, p=p, o=o, g=graph_term))
+                while True:
+                    o = term_or_bnode("object", graph_term, sink)
+                    sink.append(Pattern(s=subj, p=p, o=o, g=graph_term))
+                    if c.peek() == ("PUNCT", ","):
+                        c.next()
+                        continue
+                    break
+                if c.peek() == ("PUNCT", ";"):
+                    while c.peek() == ("PUNCT", ";"):
+                        c.next()
+                    nt = c.peek()
+                    if nt is None or nt in (
+                        ("PUNCT", "."), ("PUNCT", "}"), ("PUNCT", "]"),
+                    ):
+                        return  # trailing ';'
+                    continue
+                return
+
+        def parse_triples_same_subject(
+            graph_term: str | None, sink: list[Pattern]
+        ) -> None:
+            s = term_or_bnode("subject", graph_term, sink)
+            nt = c.peek()
+            if nt in (("PUNCT", "."), ("PUNCT", "}")) or nt is None:
+                # bare [ p o ] subject with no further predicates
+                return
+            parse_predicate_object_list(s, graph_term, sink)
 
         triples_until_close(None, patterns)
         if not patterns and not any(op[0] == "subquery" for op in ops):
@@ -1973,10 +2037,11 @@ def _compile_select(
         out = out.select(*[it[1] for it in projected])
     else:
         # SELECT *: project every binding, never the carry_meta
-        # companion columns
+        # companion columns nor non-distinguished blank-node variables
         out = out.select(
             *[c for c in out.columns
-              if not c.endswith(("__kind", "__dt", "__lang"))]
+              if not c.endswith(("__kind", "__dt", "__lang"))
+              and not re.fullmatch(r"_bn\d+", c)]
         )
     if distinct:
         out = out.dropDuplicates()
