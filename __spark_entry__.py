@@ -420,6 +420,23 @@ def q_kg_sparql_optfilter(spark, sf):
     )
 
 
+def q_kg_sparql_bnode(spark, sf):
+    """Blank-node property list in WHERE (r3b): [ source ?s ; nchars
+    ?c ] — the bracket mints a non-distinguished variable whose two
+    patterns hash-join on it."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    return sparql.select(
+        stmts,
+        """
+        SELECT ?src (COUNT(*) AS ?n) WHERE {
+          [ <urn:p:source> ?src ; <urn:p:nchars> ?c ]
+        } GROUP BY ?src
+        """,
+    )
+
+
 def _ts_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One xsd:dateTime triple per event — exercises dateTime literal
     parsing + canonicalization and the §17.4.5 accessor functions."""
@@ -1017,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_datetime": q_kg_sparql_datetime,
         "kg_sparql_from": q_kg_sparql_from,
         "kg_sparql_optfilter": q_kg_sparql_optfilter,
+        "kg_sparql_bnode": q_kg_sparql_bnode,
         # omitted from the driver's r2 file by the 50-entry cap
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
@@ -1183,6 +1201,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_rows,
                    COUNT(CASE WHEN n_chars >= 300 THEN 1 END) AS n_big
             FROM documents
+        """,
+        "kg_sparql_bnode": """
+            SELECT 'urn:src:' || source AS src, COUNT(*) AS n
+            FROM documents GROUP BY source
         """,
         "kg_flagship": """
             SELECT 'urn:repo:' || source AS graph,

@@ -1563,6 +1563,12 @@ def _parse_group_pattern(
                     # optional unit (applied BEFORE the left join)
                     optional_blocks.append((block, bops) if bops else block)
                     continue
+                if _kw(t, "SERVICE"):
+                    raise SparqlError(
+                        "SERVICE (federated query) is not supported — this "
+                        "is a single-store engine; materialize the remote "
+                        "graph with LOAD first"
+                    )
                 if _kw(t, "MINUS"):
                     if sub:
                         raise SparqlError(f"MINUS inside {sub} is not supported")
