@@ -40,6 +40,12 @@ def main() -> int:
     ap.add_argument("--compact", action="store_true",
                     help="run cross-snapshot linking compaction instead "
                     "of a build (pipeline.compact_links)")
+    ap.add_argument("--compact-data", action="store_true",
+                    help="partition-scoped small-file compaction "
+                    "(update.compact_store) instead of a build")
+    ap.add_argument("--expire", type=int, default=None, metavar="N",
+                    help="expire all but the newest N snapshots and GC "
+                    "unreferenced data/lineage dirs, instead of a build")
     ap.add_argument("--compute-only", action="store_true",
                     help="run the dataflow (parse+canon+link+dedup) and "
                     "count, skipping persist/snapshot-write — isolates "
@@ -74,6 +80,20 @@ def main() -> int:
                 }
             )
         )
+        spark.stop()
+        return 0
+    if args.compact_data:
+        from tripleforge.update import compact_store
+
+        catalog = ParquetSnapshotCatalog(spark, args.catalog)
+        sid = compact_store(catalog, run_id=args.run_id)
+        print(json.dumps({"mode": "compact_data", "snapshot_id": sid}))
+        spark.stop()
+        return 0
+    if args.expire is not None:
+        catalog = ParquetSnapshotCatalog(spark, args.catalog)
+        res = catalog.expire_snapshots(keep_last=args.expire)
+        print(json.dumps({"mode": "expire", **res}))
         spark.stop()
         return 0
     if not args.corpus:

@@ -245,6 +245,71 @@ class ParquetSnapshotCatalog(Catalog):
         m = self._manifest_for(None)
         return list(m["live_paths"]) if m else []
 
+    # --- maintenance ---------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop manifests older than the newest ``keep_last`` and
+        garbage-collect every data/lineage directory no surviving
+        snapshot references (the Iceberg expire_snapshots analog —
+        without it an append-per-mutation store retains every
+        historical file forever). Time travel to an expired id reads
+        as the empty store afterwards; surviving snapshots keep all
+        their files, so concurrent readers of live data are unaffected
+        — a reader pinned to an EXPIRED snapshot loses its files, the
+        standard Iceberg caveat."""
+        import shutil
+
+        ms = self._manifests()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if len(ms) <= keep_last:
+            return {"expired": 0, "dirs_removed": 0}
+        keep, drop = ms[-keep_last:], ms[:-keep_last]
+        referenced: set[str] = set()
+        for m in keep:
+            referenced |= set(m["live_paths"]) | set(m["lineage_paths"])
+        # concurrency guard: an in-flight commit always reserves an id
+        # ABOVE the newest published manifest, so any id ≤ the newest
+        # DROPPED manifest was published long ago — only those are GC
+        # candidates; higher unreferenced ids may be mid-write
+        max_dropped = drop[-1]["snapshot_id"]
+        removed = 0
+        for kind in ("data", "lineage"):
+            base = os.path.join(self.root, kind)
+            if not os.path.isdir(base):
+                continue
+            for snap in sorted(os.listdir(base)):
+                rel_snap = f"{kind}/{snap}"
+                full_snap = os.path.join(base, snap)
+                if rel_snap in referenced:
+                    continue
+                try:
+                    snap_id = int(snap.split("=", 1)[1])
+                except (IndexError, ValueError):
+                    continue
+                if snap_id > max_dropped:
+                    continue
+                kept_children = {
+                    child
+                    for child in os.listdir(full_snap)
+                    if f"{rel_snap}/{child}" in referenced
+                }
+                if not kept_children:
+                    shutil.rmtree(full_snap)
+                    removed += 1
+                    continue
+                for child in sorted(os.listdir(full_snap)):
+                    if (
+                        child.startswith("graph_bucket=")
+                        and child not in kept_children
+                    ):
+                        shutil.rmtree(os.path.join(full_snap, child))
+                        removed += 1
+        for m in drop:
+            os.unlink(
+                os.path.join(self._snap_dir(), f"v{m['snapshot_id']}.json")
+            )
+        return {"expired": len(drop), "dirs_removed": removed}
+
 
 def with_graph_bucket_schema():
     from pyspark.sql.types import IntegerType, StructField, StructType

@@ -324,3 +324,52 @@ def delete_data(
         operation="overwrite",
         replace_paths=keep_paths,
     )
+
+
+def compact_store(
+    catalog: Catalog, min_dirs: int = 2, run_id: str | None = None
+) -> int | None:
+    """Small-file compaction (the Iceberg rewrite_data_files analog):
+    buckets whose live set spans ≥ ``min_dirs`` snapshot directories
+    are read once and rewritten into a single new consolidated
+    directory; every other bucket's files carry into the new snapshot
+    verbatim (partition-scoped overwrite — same shape as mutations).
+    Returns the new snapshot id, or None when nothing needs compacting.
+
+    At 100 TB this is the antidote to append-heavy ingestion: N small
+    appends leave a bucket's rows scattered over N directories, and a
+    bound-graph read opens N files; compaction restores one-dir-per-
+    bucket without touching cold buckets."""
+    paths = catalog.live_paths() if hasattr(catalog, "live_paths") else []
+    if not paths:
+        return None
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    legacy = False
+    for p in paths:
+        b = _bucket_of(p)
+        if b is None:
+            legacy = True
+        else:
+            cnt[b] += 1
+    live = catalog.read_statements()
+    if legacy:
+        # pre-bucketing manifests can't be partition-scoped → full rewrite
+        keep: list[str] | None = None
+        data = live
+    else:
+        touched = sorted(b for b, n in cnt.items() if n >= min_dirs)
+        if not touched:
+            return None
+        keep = _keep_paths(catalog, set(touched))
+        data = restrict_to_buckets(live, touched)
+    data = data.select(*[f.name for f in STATEMENT.fields])
+    data, lin = _observed(data, "compact_store")
+    return catalog.commit_snapshot(
+        data,
+        lin,
+        run_id=run_id or uuid.uuid4().hex,
+        operation="overwrite",
+        replace_paths=keep,
+    )
