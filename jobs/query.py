@@ -47,6 +47,9 @@ def main() -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--out", default=None, help="write the result to a file/dir")
+    ap.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan instead of "
+                    "(or before --out) executing a show()")
     ap.add_argument(
         "--format",
         default=None,
@@ -104,13 +107,15 @@ def main() -> int:
         ap.error("need --pattern, --bgp, --sparql/--sparql-file, or --update")
         return 2
 
+    if args.explain:
+        result.explain("formatted")
     if args.out:
         from tripleforge.results import write_results
 
         fmt = args.format or "tsv"
         write_results(result, args.out, fmt, limit=args.limit)
         print({"written": args.out, "format": fmt})
-    else:
+    elif not args.explain:
         result.show(args.limit, truncate=False)
     spark.stop()
     return 0
