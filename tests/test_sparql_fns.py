@@ -263,3 +263,43 @@ def test_group_by_var_and_expression(df):
         "GROUP BY ?d (YEAR(?t) AS ?y)",
     )
     assert out.count() == 4
+
+
+# -- aggregate expressions + HAVING aggregates (r3b, §18.4) -------------------
+
+def test_aggregate_expression_arg(df):
+    out = sparql.select(
+        df,
+        "SELECT (SUM(?n * 2) AS ?t) (MAX(YEAR(?ts)) AS ?y) WHERE { "
+        "?d <urn:p:n> ?n . ?d <urn:p:ts> ?ts }",
+    )
+    r = out.collect()[0]
+    # d1 (42) and d2 (-7.5) have both n and ts
+    assert r["t"] == 69.0 and r["y"] == 2024.0
+
+
+def test_having_direct_aggregate(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d (COUNT(*) AS ?c) WHERE { ?d ?p ?o } GROUP BY ?d "
+        "HAVING (COUNT(*) >= 3)",
+    )
+    got = {(r.d, r.c) for r in out.collect()}
+    # d:1 has ts+n+label+rel = 4, d:2 has ts+n+rel = 3
+    assert got == {("urn:d:1", 4), ("urn:d:2", 3)}
+    assert out.columns == ["d", "c"]  # synthesized agg column dropped
+
+
+def test_having_only_aggregate_no_projection(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d WHERE { ?d ?p ?o } GROUP BY ?d HAVING (COUNT(*) = 1)",
+    )
+    assert sorted(r.d for r in out.collect()) == ["urn:d:3", "urn:d:4"]
+
+
+def test_aggregate_in_filter_rejected(df):
+    with pytest.raises(sparql.SparqlError, match="only allowed in SELECT"):
+        sparql.select(
+            df, "SELECT ?d WHERE { ?d <urn:p:n> ?n . FILTER(SUM(?n) > 1) }"
+        ).collect()

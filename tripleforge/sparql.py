@@ -465,15 +465,17 @@ def _parse_agg_projection(c: _Cursor) -> tuple:
         # eliminating is the conforming, deterministic choice here
         c.next()
         distinct = True
-    t = c.next()
-    if t[0] == "STAR":
+    t = c.peek()
+    if t is not None and t[0] == "STAR":
+        c.next()
         if fn != "COUNT":
             raise SparqlError(f"{fn}(*) is not valid SPARQL")
         arg = "*"
-    elif t[0] == "VAR":
-        arg = t[1][1:]
     else:
-        raise SparqlError(f"bad aggregate argument {t[1]!r}")
+        # full expression argument (§18.4): SUM(?a * ?b), AVG(YEAR(?t)),
+        # … — a plain variable stays a string for back-compat
+        tree = _parse_expression(c)
+        arg = tree[1] if tree[0] == "var" else tree
     sep = " "
     if c.peek() == ("PUNCT", ";"):
         if fn != "GROUP_CONCAT":
@@ -775,6 +777,27 @@ def _parse_primary(c: _Cursor) -> tuple:
         return ("boollit", val == "true")
     if kind in ("WORD", "GRAPHKW", "KW", "SPARQL_KW"):
         name = val.upper()
+        if name in _AGG_FNS:
+            # aggregate call inside an expression — valid in HAVING
+            # (compiled to a synthesized aggregate column); rejected at
+            # compile time anywhere else
+            c.next()
+            if c.next() != ("PUNCT", "("):
+                raise SparqlError(f"expected '(' after {name}")
+            distinct = False
+            if _kw(c.peek(), "DISTINCT"):
+                c.next()
+                distinct = True
+            t2 = c.peek()
+            if t2 is not None and t2[0] == "STAR":
+                c.next()
+                arg = "*"
+            else:
+                tree = _parse_expression(c)
+                arg = tree[1] if tree[0] == "var" else tree
+            if c.next() != ("PUNCT", ")"):
+                raise SparqlError(f"unterminated {name}(...)")
+            return ("aggfn", name, arg, distinct)
         if name not in _FN_NAMES:
             raise SparqlError(f"unsupported function {val!r}")
         c.next()
@@ -981,6 +1004,11 @@ def _compile_expr(tree: tuple, bound: set[str]):
         return _as_str(ec, et), "str"
     if kind == "fn":
         return _compile_fn(tree[1], tree[2], bound)
+    if kind == "aggfn":
+        raise SparqlError(
+            "aggregate calls are only allowed in SELECT projections "
+            "and HAVING"
+        )
     raise SparqlError(f"cannot compile expression node {kind!r}")
 
 
@@ -1913,31 +1941,62 @@ def _parse_modifiers(c: _Cursor) -> dict:
     return mods
 
 
-def _compile_agg(item: tuple):
+def _compile_agg(item: tuple, bound: set[str] | None = None):
     from pyspark.sql import functions as F
 
     _, fn, arg, distinct, alias, sep = (*item, " ")[:6]
+    if isinstance(arg, tuple):
+        # expression argument compiled over the pre-aggregate solution
+        col, typ = _compile_expr(arg, bound or set())
+        num_col = col if typ == "num" else col.cast("double")
+    elif arg == "*":
+        col = num_col = None
+    else:
+        col = F.col(arg)
+        num_col = col.cast("double")
     if fn == "COUNT":
-        if arg == "*":
+        if col is None:
             expr = F.count(F.lit(1))
         elif distinct:
-            expr = F.count_distinct(F.col(arg))
+            expr = F.count_distinct(col)
         else:
-            expr = F.count(F.col(arg))
+            expr = F.count(col)
         return expr.alias(alias)
     if fn == "SAMPLE":
         # SPARQL SAMPLE = any value of the group; min is a valid and
         # DETERMINISTIC sample (F.first varies with partitioning)
-        return F.min(F.col(arg)).alias(alias)
+        return F.min(col).alias(alias)
     if fn == "GROUP_CONCAT":
-        vals = F.collect_set(F.col(arg)) if distinct else F.collect_list(F.col(arg))
+        vals = F.collect_set(col) if distinct else F.collect_list(col)
         # SPARQL leaves concatenation order undefined; sorting makes the
         # result partitioning-invariant (deterministic across runs)
         return F.array_join(F.array_sort(vals), sep).alias(alias)
     if distinct:
         raise SparqlError(f"DISTINCT is only supported in COUNT, not {fn}")
     fns = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}
-    return fns[fn](F.col(arg).cast("double")).alias(alias)
+    return fns[fn](num_col).alias(alias)
+
+
+def _extract_having_aggs(tree: tuple, acc: list[tuple]) -> tuple:
+    """Rewrite aggregate calls inside a HAVING expression into
+    references to synthesized aggregate columns (computed alongside
+    the projected aggregates, dropped by the final projection)."""
+    if not isinstance(tree, tuple):
+        return tree
+    if tree[0] == "aggfn":
+        _, fn, arg, distinct = tree
+        alias = f"__hagg{len(acc)}"
+        acc.append(("agg", fn, arg, distinct, alias, " "))
+        return ("var", alias)
+    out = [tree[0]]
+    for a in tree[1:]:
+        if isinstance(a, tuple):
+            out.append(_extract_having_aggs(a, acc))
+        elif isinstance(a, list):
+            out.append([_extract_having_aggs(x, acc) for x in a])
+        else:
+            out.append(a)
+    return tuple(out)
 
 
 def select(
@@ -1991,7 +2050,9 @@ def _compile_select(
         g[1] for g in mods["group_by"] if isinstance(g, tuple)
     }
     missing = [v for v in plain if v not in bound and v not in group_aliases] + [
-        it[2] for it in aggs if it[2] != "*" and it[2] not in bound
+        it[2]
+        for it in aggs
+        if isinstance(it[2], str) and it[2] != "*" and it[2] not in bound
     ]
     if missing:
         raise SparqlError(f"projected variables not bound: {missing}")
@@ -2022,13 +2083,22 @@ def _compile_select(
         bad_group = [v for v in group if v not in set(out.columns)]
         if bad_group:
             raise SparqlError(f"GROUP BY variables not bound: {bad_group}")
-        agg_exprs = [_compile_agg(it) for it in aggs]
+        pre_bound = set(out.columns)
+        htree = mods["having"]
+        having_aggs: list[tuple] = []
+        if htree is not None:
+            # direct aggregate calls in HAVING become synthesized
+            # aggregate columns, dropped by the final projection
+            htree = _extract_having_aggs(htree, having_aggs)
+        agg_exprs = [_compile_agg(it, pre_bound) for it in aggs] + [
+            _compile_agg(it, pre_bound) for it in having_aggs
+        ]
         if not agg_exprs:
             raise SparqlError("GROUP BY without any aggregate projection")
         out = out.groupBy(*group).agg(*agg_exprs) if group else out.agg(*agg_exprs)
-        if mods["having"] is not None:
+        if htree is not None:
             # HAVING sees the aggregate aliases as bound variables
-            col, typ = _compile_expr(mods["having"], set(out.columns))
+            col, typ = _compile_expr(htree, set(out.columns))
             out = out.where(_as_bool(col, typ))
         # project in the user's order
         names = [it[1] if it[0] == "var" else it[4] for it in projected]
