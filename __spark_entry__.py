@@ -437,6 +437,23 @@ def q_kg_sparql_bnode(spark, sf):
     )
 
 
+def q_kg_sparql_aggexpr(spark, sf):
+    """Aggregate expression arguments + HAVING aggregate (r3b,
+    §18.4): SUM over an arithmetic expression, filtered by a direct
+    COUNT(*) call in HAVING — both compiled into one hash aggregate."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    return sparql.select(
+        stmts,
+        """
+        SELECT ?src (SUM(?n * 2 + 1) AS ?w) WHERE {
+          ?d <urn:p:source> ?src . ?d <urn:p:nchars> ?n
+        } GROUP BY ?src HAVING (COUNT(*) > 1)
+        """,
+    ).select("src", F.col("w").cast("long").alias("w"))
+
+
 def _ts_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One xsd:dateTime triple per event — exercises dateTime literal
     parsing + canonicalization and the §17.4.5 accessor functions."""
@@ -1035,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_from": q_kg_sparql_from,
         "kg_sparql_optfilter": q_kg_sparql_optfilter,
         "kg_sparql_bnode": q_kg_sparql_bnode,
+        "kg_sparql_aggexpr": q_kg_sparql_aggexpr,
         # omitted from the driver's r2 file by the 50-entry cap
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
@@ -1205,6 +1223,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_bnode": """
             SELECT 'urn:src:' || source AS src, COUNT(*) AS n
             FROM documents GROUP BY source
+        """,
+        "kg_sparql_aggexpr": """
+            SELECT 'urn:src:' || source AS src,
+                   CAST(SUM(n_chars * 2 + 1) AS BIGINT) AS w
+            FROM documents GROUP BY source HAVING COUNT(*) > 1
         """,
         "kg_flagship": """
             SELECT 'urn:repo:' || source AS graph,
