@@ -1008,6 +1008,18 @@ def q_ann_lsh(spark, sf):
     )
 
 
+def q_ann_ivf(spark, sf):
+    """IVF coarse-quantizer ANN (r3b): deterministic driver-trained
+    spherical k-means cells, nprobe-cell candidate join, exact cosine
+    rerank. Rows-only vs DuckDB (Lloyd's iterations are not SQL-
+    expressible); exact independent numpy oracle + recall gate in
+    tests/test_rows_only_oracles.py / test_text_ann.py."""
+    em = read_table(spark, sf, "embeddings")
+    return ann.cosine_topk_ivf(
+        em, em.where(F.col("vec_id") < 5), k=5, n_centroids=16, nprobe=4
+    )
+
+
 def q_ann_lsh_multiprobe(spark, sf):
     """Multi-probe LSH (r3): each query also probes every single-bit-
     flipped bucket — recall@5 ≥ 0.9 gated in pytest; the DuckDB oracle
@@ -1060,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_ivf": q_ann_ivf,
         "multimodal_meta": q_multimodal_meta,
         # KG construction (SURVEY §2.A)
         "kg_flagship": q_kg_flagship,

@@ -175,3 +175,61 @@ def test_sampling_deterministic_and_binomial(spark):
         mu = 0.1 * n
         sigma = math.sqrt(n * 0.1 * 0.9)
         assert abs(a.get(k, 0) - mu) <= 5 * sigma + 1, (k, a.get(k), mu)
+
+
+def test_ann_ivf_exact_python_oracle(spark):
+    """ann_ivf is rows-only in the driver harness (Lloyd's iterations
+    are not SQL-expressible); this independent numpy reimplementation
+    of the full IVF pipeline (sample → spherical k-means → cell
+    assignment → nprobe probe → cosine rerank) must match the Spark
+    result value-exactly."""
+    import numpy as np
+
+    from tripleforge import ann
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = em.where(F.col("vec_id") < 5)
+    got = {
+        (r.qid, r.nid, r.sim, r.rnk)
+        for r in ann.cosine_topk_ivf(
+            em, queries, k=5, n_centroids=8, nprobe=3
+        ).collect()
+    }
+
+    rows = sorted(
+        ((r.vec_id, np.array(r.embedding, dtype=np.float64))
+         for r in em.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    X = np.stack([t[1] for t in rows])
+    # centroids: same deterministic recipe as ann.ivf_centroids
+    S = X[:2048]
+    S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(42)
+    C = S[rng.choice(len(S), size=min(8, len(S)), replace=False)]
+    for _ in range(10):
+        assign = np.argmax(S @ C.T, axis=1)
+        for j in range(len(C)):
+            m = S[assign == j]
+            if len(m):
+                v = m.mean(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-12)
+    norms = np.maximum(np.linalg.norm(X, axis=1), 1e-12)
+    scores = (X / norms[:, None]) @ C.T
+    cells = np.argmax(scores, axis=1)
+    expected = set()
+    for qi in np.where(ids < 5)[0]:
+        probe = np.argsort(-scores[qi])[:3]
+        cand = [
+            i for i in range(len(ids))
+            if cells[i] in probe and ids[i] != ids[qi]
+        ]
+        sims = [
+            (float(X[i] @ X[qi] / (norms[i] * norms[qi])), ids[i])
+            for i in cand
+        ]
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        for rnk, (s, nid) in enumerate(sims[:5], start=1):
+            expected.add((int(ids[qi]), int(nid), round(s, 6), rnk))
+    assert got == expected

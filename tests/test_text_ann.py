@@ -279,3 +279,34 @@ def test_multiprobe_lsh_recall_gate(spark):
     r_single = ann.recall_at_k(single, exact, k=5)
     assert r_multi >= 0.9, f"multi-probe recall@5 {r_multi} < 0.9"
     assert r_multi >= r_single  # fan-out can only add candidates
+
+
+def test_ivf_recall_gate_and_determinism(spark):
+    """IVF coarse-quantizer variant (r3b): on the clustered fixture
+    (the regime IVF is built for) recall@5 vs brute force must be
+    >= 0.9 at nprobe=3/16 cells; the index is deterministic (seeded
+    driver-side spherical k-means on an id-ordered sample) and the
+    whole pipeline is JVM-side."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(20, 64) * 3
+    rows = [
+        (i, [float(x) for x in centers[i % 20] + rng.randn(64) * 0.3])
+        for i in range(400)
+    ]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = em.where(F.col("vec_id") < 10)
+    exact = ann.cosine_topk(em, q, k=5)
+    ivf = ann.cosine_topk_ivf(em, q, k=5, n_centroids=16, nprobe=3)
+    r = ann.recall_at_k(ivf, exact, k=5)
+    assert r >= 0.9, f"IVF recall@5 {r} < 0.9"
+    again = ann.cosine_topk_ivf(em, q, k=5, n_centroids=16, nprobe=3)
+    assert sorted(map(tuple, ivf.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # more probes can only add candidates → recall is monotone
+    wide = ann.cosine_topk_ivf(em, q, k=5, n_centroids=16, nprobe=8)
+    assert ann.recall_at_k(wide, exact, k=5) >= r

@@ -227,3 +227,119 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 5) -> float:
     hit = a.join(e, ["qid", "nid"], "left_semi").count()
     total = e.count()
     return hit / total if total else 1.0
+
+
+# ---------------------------------------------------------------------------
+# IVF variant (coarse k-means quantizer, deterministic)
+# ---------------------------------------------------------------------------
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample_n: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer trained DRIVER-SIDE on a
+    deterministic sample (first ``sample_n`` rows by id — reproducible
+    across runs/partitionings; the sample is tiny by contract, the
+    corpus itself is never collected). Lloyd's iterations in numpy on
+    unit-normalized vectors; empty clusters keep their previous
+    centroid. At 100 TB the quantizer is still trained on a bounded
+    sample — only the ASSIGNMENT runs distributed."""
+    rows = corpus.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    return C.tolist()
+
+
+def _centroid_dots(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of cosine-proportional scores against every
+    centroid (centroids are unit vectors, so the dot over the
+    unnormalized corpus vector ranks cells identically to cosine)."""
+    n = l2_norm(vec_col)
+    return F.array(
+        *[
+            dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) / n
+            for c in centroids
+        ]
+    )
+
+
+def ivf_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """1-based id of the nearest centroid (argmax cosine)."""
+    d = _centroid_dots(vec_col, centroids)
+    return F.array_position(d, F.array_max(d)).cast("int")
+
+
+def ivf_probe_cells(
+    vec_col: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The ``nprobe`` nearest cells of a query vector — sort the
+    (score, cell) pairs and slice, all JVM-side."""
+    d = _centroid_dots(vec_col, centroids)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: F.struct(F.element_at(d, i).alias("s"), i.alias("cell")),
+    )
+    top = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
+    return F.transform(top, lambda p: p["cell"].cast("int"))
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k (the FAISS IVF-flat analog): corpus rows
+    are assigned to their nearest coarse centroid ONCE (a codegen
+    argmax over n_centroids dot products — no shuffle); each query
+    probes its ``nprobe`` nearest cells and reranks candidates with
+    exact cosine. The recall/cost dial is (n_centroids, nprobe):
+    candidates ≈ nprobe/n_centroids of the corpus per query.
+
+    Scale shape mirrors the LSH variant: the corpus is scanned once
+    and equi-joined on the small broadcast query side; only the probe
+    fan-out (nprobe rows per query) grows with recall."""
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, n_centroids=n_centroids, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        ivf_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            ivf_probe_cells(F.col(vec_col), centroids, nprobe)
+        ).alias("cell"),
+    )
+    joined = c.join(F.broadcast(q), "cell").where(F.col("nid") != F.col("qid"))
+    sim = cosine(F.col("nvec"), F.col("qvec"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("qid", "nid", F.round("sim", 6).alias("sim"), "rnk")
+    )
