@@ -20,13 +20,14 @@ def test_queries_oracle_keys_align(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # deliberate rows-only ops (engine-specific hash/RNG/sketch)
+    # deliberate rows-only ops (engine-specific hash/RNG/sketch/kmeans)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "approx_distinct",
         "sampling",
         "minhash_pairs",
         "simhash_pairs",
+        "ann_ivf",
     }
 
 
