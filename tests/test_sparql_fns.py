@@ -303,3 +303,61 @@ def test_aggregate_in_filter_rejected(df):
         sparql.select(
             df, "SELECT ?d WHERE { ?d <urn:p:n> ?n . FILTER(SUM(?n) > 1) }"
         ).collect()
+
+
+# -- corner-case vectors (W3C-style) ------------------------------------------
+
+def test_timezone_half_hour_offset(spark):
+    df = spark.createDataFrame(
+        [("urn:e", "urn:p:at", "2024-06-01T10:00:00+05:30", "literal",
+          XSD + "dateTime", None, "g"),
+         ("urn:f", "urn:p:at", "2024-06-01T10:00:00-00:30", "literal",
+          XSD + "dateTime", None, "g")],
+        SCHEMA,
+    )
+    out = sparql.select(
+        df, "SELECT ?d (TIMEZONE(?t) AS ?z) WHERE { ?d <urn:p:at> ?t }"
+    )
+    z = {r.d: r.z for r in out.collect()}
+    assert z["urn:e"] == "PT5H30M" and z["urn:f"] == "-PT30M"
+
+
+def test_strbefore_strafter_empty_and_missing(df):
+    out = sparql.select(
+        df,
+        'SELECT (STRBEFORE("abc", "b") AS ?b) (STRAFTER("abc", "b") AS ?a) '
+        '(STRBEFORE("abc", "z") AS ?miss) (STRAFTER("abc", "") AS ?empty) '
+        "WHERE { ?d <urn:p:label> ?l }",
+    )
+    r = out.collect()[0]
+    # absent separator → ""; empty separator: STRAFTER("abc","") = "abc"
+    assert (r.b, r.a, r.miss) == ("a", "c", "")
+    assert r.empty == "abc"
+
+
+def test_nested_cast_in_concat(df):
+    out = sparql.select(
+        df,
+        f"PREFIX xsd: <{XSD}> "
+        'SELECT (CONCAT("n=", xsd:string(xsd:integer("007"))) AS ?s) '
+        "WHERE { ?d <urn:p:label> ?l }",
+    )
+    assert out.collect()[0].s == "n=7.0" or out.collect()[0].s == "n=7"
+
+
+def test_substr_one_based_and_tail(df):
+    out = sparql.select(
+        df,
+        'SELECT (SUBSTR("hello", 2) AS ?t) (SUBSTR("hello", 2, 3) AS ?m) '
+        "WHERE { ?d <urn:p:label> ?l }",
+    )
+    r = out.collect()[0]
+    assert (r.t, r.m) == ("ello", "ell")
+
+
+def test_in_list_with_expressions(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d WHERE { ?d <urn:p:n> ?n . FILTER(?n IN (41 + 1, 99)) }",
+    )
+    assert _one(out, "d") == "urn:d:1"
