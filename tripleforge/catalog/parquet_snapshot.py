@@ -129,6 +129,11 @@ class ParquetSnapshotCatalog(Catalog):
         (
             with_graph_bucket(statements.select(*[f.name for f in STATEMENT.fields]), self.n_buckets)
             .repartition(self.n_buckets, F.col("graph_bucket"))
+            # sort by subject within each bucket file: parquet row-group
+            # min/max stats become tight subject ranges, so bound-subject
+            # scans (DESCRIBE, <s> ?p ?o patterns) skip whole row groups
+            # — free at read time, one in-partition sort at write time
+            .sortWithinPartitions("graph_bucket", "subj")
             .write.partitionBy("graph_bucket")
             .mode("errorifexists")
             .parquet(data_path)
