@@ -886,3 +886,19 @@ def test_triple_block_syntax(spark):
         df, "SELECT * WHERE { [ <urn:p:n> ?n ; <urn:p:m> 2 ] }"
     )
     assert out.columns == ["n"]
+
+
+def test_update_sequence_splitter_edges():
+    """The ';' splitter must not split inside comments, multi-line
+    strings, escaped quotes, or quad blocks."""
+    from tripleforge.sparql import _split_update_sequence
+
+    t = (
+        '# note; with semicolon and "quote\n'
+        'INSERT DATA { <urn:a> <urn:p> """multi\nline; text""" . } ;\n'
+        "DELETE WHERE { <urn:a> <urn:p> ?v }"
+    )
+    assert len(_split_update_sequence(t)) == 2
+    t2 = 'INSERT DATA { <urn:a> <urn:p> "a\\";b" . } ; LOAD <file:///x.nt>'
+    assert len(_split_update_sequence(t2)) == 2
+    assert len(_split_update_sequence("LOAD <file:///x.nt>")) == 1

@@ -104,3 +104,53 @@ def test_dataset_with_filter_and_join(df):
 def test_no_dataset_unchanged(df):
     out = sparql.select(df, "SELECT ?s WHERE { ?s <urn:p> ?o }")
     assert _vals(out, "s") == ["urn:a", "urn:b", "urn:c"]
+
+
+def test_dataset_with_union(df):
+    """FROM applies to every UNION arm (per-arm pattern rewrite)."""
+    out = sparql.select(
+        df,
+        "SELECT ?s FROM <urn:g1> FROM <urn:g3> WHERE { "
+        '{ ?s <urn:p> "1" } UNION { ?s <urn:p> "3" } }',
+    )
+    assert _vals(out, "s") == ["urn:a", "urn:c"]
+    # an arm matching only an excluded graph contributes nothing
+    out = sparql.select(
+        df,
+        "SELECT ?s FROM <urn:g1> WHERE { "
+        '{ ?s <urn:p> "1" } UNION { ?s <urn:p> "2" } }',
+    )
+    assert _vals(out, "s") == ["urn:a"]
+
+
+def test_dataset_with_minus_and_exists(df):
+    """MINUS / EXISTS sub-patterns evaluate inside the same dataset."""
+    out = sparql.select(
+        df,
+        "SELECT ?s FROM <urn:g1> FROM <urn:g2> WHERE { "
+        "?s <urn:p> ?o . MINUS { ?s <urn:q> ?x } }",
+    )
+    # urn:a has a q edge in g1 → minused; urn:b survives
+    assert _vals(out, "s") == ["urn:b"]
+    out = sparql.select(
+        df,
+        "SELECT ?s FROM <urn:g2> WHERE { "
+        "?s <urn:p> ?o . MINUS { ?s <urn:q> ?x } }",
+    )
+    # with only g2 in the dataset the q edge (g1) is invisible → no minus
+    assert _vals(out, "s") == ["urn:b"]
+
+
+def test_dataset_with_subquery(df):
+    """A subquery inside a FROM query evaluates against the same
+    dataset view (its patterns are rewritten recursively)."""
+    out = sparql.select(
+        df,
+        "SELECT ?s ?n FROM <urn:g1> FROM <urn:g2> WHERE { "
+        "?s <urn:p> ?o . "
+        "{ SELECT (COUNT(*) AS ?n) WHERE { ?x <urn:p> ?y } } }",
+        allow_cartesian=True,
+    )
+    rows = out.collect()
+    assert sorted(r["s"] for r in rows) == ["urn:a", "urn:b"]
+    assert all(r["n"] == 2 for r in rows)  # counts only g1+g2 rows
