@@ -361,3 +361,24 @@ def test_in_list_with_expressions(df):
         "SELECT ?d WHERE { ?d <urn:p:n> ?n . FILTER(?n IN (41 + 1, 99)) }",
     )
     assert _one(out, "d") == "urn:d:1"
+
+
+def test_order_by_direct_aggregate(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d WHERE { ?d ?p ?o } GROUP BY ?d ORDER BY DESC(COUNT(*)) "
+        "LIMIT 2",
+    )
+    # d:1 (4 stmts) then d:2 (3 stmts); synthesized column dropped
+    assert [r.d for r in out.collect()] == ["urn:d:1", "urn:d:2"]
+    assert out.columns == ["d"]
+
+
+def test_order_by_and_having_aggregates_combined(df):
+    out = sparql.select(
+        df,
+        "SELECT ?d (COUNT(*) AS ?c) WHERE { ?d ?p ?o } GROUP BY ?d "
+        "HAVING (COUNT(*) >= 2) ORDER BY ASC(MIN(STR(?o))) ",
+    )
+    assert out.columns == ["d", "c"]
+    assert len(out.collect()) == 3  # d:1 (4), d:2 (3), d:5 (2)

@@ -1949,6 +1949,10 @@ def _compile_agg(item: tuple, bound: set[str] | None = None):
         # expression argument compiled over the pre-aggregate solution
         col, typ = _compile_expr(arg, bound or set())
         num_col = col if typ == "num" else col.cast("double")
+        if fn in ("MIN", "MAX") and typ != "num":
+            # a string-typed expression orders lexically — casting it
+            # to double would throw under ANSI mode
+            num_col = col
     elif arg == "*":
         col = num_col = None
     else:
@@ -2058,6 +2062,7 @@ def _compile_select(
         raise SparqlError(f"projected variables not bound: {missing}")
     if mods["having"] is not None and not (aggs or mods["group_by"]):
         raise SparqlError("HAVING requires GROUP BY / aggregates")
+    drop_after_order: list[str] = []
     if aggs or mods["group_by"]:
         if exprprojs:
             raise SparqlError(
@@ -2085,13 +2090,20 @@ def _compile_select(
             raise SparqlError(f"GROUP BY variables not bound: {bad_group}")
         pre_bound = set(out.columns)
         htree = mods["having"]
-        having_aggs: list[tuple] = []
+        extra_aggs: list[tuple] = []
         if htree is not None:
             # direct aggregate calls in HAVING become synthesized
             # aggregate columns, dropped by the final projection
-            htree = _extract_having_aggs(htree, having_aggs)
+            htree = _extract_having_aggs(htree, extra_aggs)
+        # same rewrite for aggregate calls in ORDER BY expression keys
+        new_ob = []
+        for key, asc_ in mods["order_by"]:
+            if isinstance(key, tuple) and key[0] == "expr":
+                key = ("expr", _extract_having_aggs(key[1], extra_aggs))
+            new_ob.append((key, asc_))
+        mods["order_by"] = new_ob
         agg_exprs = [_compile_agg(it, pre_bound) for it in aggs] + [
-            _compile_agg(it, pre_bound) for it in having_aggs
+            _compile_agg(it, pre_bound) for it in extra_aggs
         ]
         if not agg_exprs:
             raise SparqlError("GROUP BY without any aggregate projection")
@@ -2100,9 +2112,11 @@ def _compile_select(
             # HAVING sees the aggregate aliases as bound variables
             col, typ = _compile_expr(htree, set(out.columns))
             out = out.where(_as_bool(col, typ))
-        # project in the user's order
+        # project in the user's order, carrying synthesized sort-key
+        # aggregates through to ORDER BY (dropped after sorting)
         names = [it[1] if it[0] == "var" else it[4] for it in projected]
-        out = out.select(*names)
+        drop_after_order.extend(a[4] for a in extra_aggs)
+        out = out.select(*names, *drop_after_order)
     elif projected:
         for it in exprprojs:
             _, alias, tree = it
@@ -2139,6 +2153,8 @@ def _compile_select(
             )
             keys.append(col.asc() if asc_ else col.desc())
         out = out.orderBy(*keys)
+    if drop_after_order:
+        out = out.drop(*drop_after_order)
     if mods["offset"]:
         out = out.offset(mods["offset"])
     if mods["limit"] is not None:
