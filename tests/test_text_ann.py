@@ -190,31 +190,32 @@ def test_minhash_verified_equals_candidate_intersect_exact(spark):
 
 def test_minhash_verify_is_candidate_restricted_in_plan(spark):
     """The verified plan must NOT contain the full posting self-join
-    (a join keyed by the bare shingle with doc_a<doc_b on both sides
-    of the posting): candidates arrive via the band/bucket join, and
-    the jaccard join is keyed by (doc_b, sh) — pair-restricted."""
+    (a join keyed by the bare shingle): candidates arrive via the
+    band/bucket join, and verification intersects the per-doc shingle
+    sets attached by doc-keyed joins — so NO join in the plan may be
+    keyed by a shingle column at all, and the codegen array_intersect
+    must be present (r4 restructure: one groupBy computes signatures +
+    collect_list(sh); verify is array_intersect on candidates only)."""
     df = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "a b c d e f g x")], "doc_id long, text string"
     )
     plan = text.minhash_lsh_pairs(df, verify_threshold=0.1)._jdf.queryExecution().optimizedPlan().toString()
     import re
 
-    # every join with a shingle EQUALITY key must also have a doc
-    # EQUALITY key (the old full self-join was keyed by sh alone, with
-    # doc_a<doc_b only as an inequality filter)
     bad = [
         line
         for line in plan.split("\n")
-        if "Join " in line
-        and re.search(r"\(sh#\d+L? = sh#\d+L?\)", line)
-        and not re.search(r"\(doc(_[ab])?#\d+L? = doc(_[ab])?#\d+L?\)", line)
+        if "Join " in line and re.search(r"sh#\d+L? = sh#\d+L?", line)
     ]
-    assert not bad, f"bare-shingle equi-joins in plan: {bad}"
-    # non-vacuous: the pair-restricted (doc, sh) join must exist
+    assert not bad, f"shingle-keyed joins in plan: {bad}"
+    # non-vacuous: candidate verification via set intersection, and the
+    # doc-keyed attach joins must exist
+    assert "array_intersect" in plan
     assert any(
-        re.search(r"\(doc_b#\d+L? = doc_b#\d+L?\) AND \(sh#\d+L? = sh#\d+L?\)", line)
+        re.search(r"doc_b#\d+L? = doc(_b)?#\d+L?", line)
         for line in plan.split("\n")
-    )
+        if "Join " in line
+    ), plan
 
 
 def test_posting_cache_released_after_use(spark):

@@ -99,29 +99,59 @@ def shingles(col: Column, k: int = 5) -> Column:
     )
 
 
+def _widen(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Repartition ONLY when the scan is narrower than the cluster.
+    A small corpus lands in one parquet file → one input partition →
+    the tokenize/shingle stage runs on 1 of N cores (profiled: 4 s of a
+    5 s minhash run at sf0.1, VERDICT r3 #1). At real corpus scale the
+    scan already has ≥cores partitions and this is a no-op — the guard
+    means we never pay a full-corpus shuffle at 100 TB just to help the
+    small case.
+
+    ``key``: hash-partition by this column instead of round-robin.
+    Project/Generate preserve the child's HashPartitioning, so a
+    downstream ``groupBy(key)`` (the minhash/simhash signature
+    aggregate) is satisfied with NO second exchange — the exploded
+    posting never shuffles."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key)) if key else df.repartition(target)
+    return df
+
+
 def _shingle_posting(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(doc, sh) posting list; the shingle is xxhash64-compressed to a
     long so downstream shuffles/joins move 8 bytes, not k-word strings —
     at corpus scale the shuffle width is the cost driver (collisions at
     64 bits are negligible for dedup purposes)."""
-    return df.select(
-        F.col(id_col).alias("doc"),
+    return _widen(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col)), key="doc"
+    ).select(
+        "doc",
         F.explode(shingles(F.col(text_col), k)).alias("sh_raw"),
     ).select("doc", F.xxhash64("sh_raw").alias("sh"))
 
 
-def _share(df: DataFrame) -> DataFrame:
+def _share(df: DataFrame, eager: bool = False) -> DataFrame:
     """Reuse an intermediate across multiple downstream branches
-    WITHOUT leaking executor storage (VERDICT r2): a lazy
-    ``localCheckpoint`` materializes RDD blocks on first action and —
-    unlike ``DataFrame.persist()``, whose CacheManager entry outlives
-    every reference — is released by Spark's ContextCleaner as soon as
-    the returned plan is garbage-collected. Repeated calls in a
-    long-lived session therefore cannot accumulate cached partitions.
-    (Cluster note: localCheckpoint blocks are lost with their executor;
-    the job then fails-and-retries rather than silently recomputing —
-    the right trade for a dedup batch job, matching CC/link.py.)"""
-    return df.localCheckpoint(eager=False)
+    WITHOUT leaking executor storage (VERDICT r2): a ``localCheckpoint``
+    materializes RDD blocks (on first action when lazy, synchronously
+    when ``eager``) and — unlike ``DataFrame.persist()``, whose
+    CacheManager entry outlives every reference — is released by Spark's
+    ContextCleaner as soon as the returned plan is garbage-collected.
+    Repeated calls in a long-lived session therefore cannot accumulate
+    cached partitions.
+
+    ``eager=True`` is for SMALL intermediates referenced by several
+    concurrently-scheduled downstream stages: lazy blocks only land as
+    each stage's tasks first compute them, so sibling stages launched
+    together each recompute the lineage (measured on minhash, VERDICT
+    r3 #1); eager materialization runs the lineage exactly once before
+    any consumer plans. (Cluster note: localCheckpoint blocks are lost
+    with their executor; the job then fails-and-retries rather than
+    silently recomputing — the right trade for a dedup batch job,
+    matching CC/link.py.)"""
+    return df.localCheckpoint(eager=eager)
 
 
 def jaccard_pairs(
@@ -229,14 +259,32 @@ def minhash_lsh_pairs(
 
     Verification is candidate-restricted (VERDICT r1: recomputing exact
     Jaccard over the WHOLE corpus made LSH strictly more expensive than
-    the exact algorithm it approximates): the shingle posting list —
-    built once and shared with the signature aggregate — is joined onto
-    the candidate pair list, so the intersection-count shuffle moves
-    |candidates| × avg-shingles rows, never the full posting self-join.
+    the exact algorithm it approximates). Shape (reworked for VERDICT r3
+    #1 — the r2 'fast' number turned out to be subsidized by a leaked
+    persist() cache shared with jaccard_pairs, measured in
+    tools/ab_share.py): ONE groupBy over the exploded posting computes
+    all n_hashes minima AND ``collect_set`` of the doc's shingle hashes,
+    so the expensive scan+shuffle runs exactly once. The per-doc result
+    (one row per document) is eagerly checkpointed — lazy blocks only
+    land as each consumer stage's tasks compute them, so the 4 sibling
+    stages each re-ran the lineage — and candidates are verified with a
+    codegen ``array_intersect`` on the collected sets (the candidate
+    list is tiny → AQE broadcasts it; the per-doc table is never
+    shuffled again). At 100 TB the set array is bounded by document
+    length (same order as the text itself) and rides the one shuffle the
+    signatures already pay.
     """
     r = n_hashes // n_bands
-    posting = _share(_shingle_posting(df, id_col, text_col, k=5))
-    sig = _signatures_from_posting(posting, n_hashes)
+    posting = _shingle_posting(df, id_col, text_col, k=5)
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    if verify_threshold is not None:
+        # per-doc shingles are already distinct (shingles() applies
+        # array_distinct before hashing) → collect_list, no dedup cost
+        aggs.append(F.collect_list("sh").alias("shs"))
+    per_doc = _share(posting.groupBy("doc").agg(*aggs), eager=True)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -244,7 +292,7 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = sig.select(
+    bands = per_doc.select(
         "doc", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     bands = block_and_cap(bands, ["band", "bucket"], max_bucket)
@@ -258,20 +306,21 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    # exact Jaccard for candidate pairs only: pair ⋈ posting(doc_a)
-    # ⋈ posting(doc_b, same shingle) → per-pair intersection count
-    sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    pa = posting.withColumnRenamed("doc", "doc_a")
-    pb = posting.withColumnRenamed("doc", "doc_b")
-    inter = (
-        cand.join(pa, "doc_a")
-        .join(pb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # exact Jaccard for candidate pairs only: attach each side's shingle
+    # set (broadcast the tiny candidate list onto the per-doc table) and
+    # intersect JVM-side — no posting self-join, no extra shuffle.
+    docsets = per_doc.select("doc", "shs", F.size("shs").alias("n_sh"))
+    sa = docsets.select(
+        F.col("doc").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("n_sh").alias("n_a")
     )
+    sb = docsets.select(
+        F.col("doc").alias("doc_b"), F.col("shs").alias("shs_b"), F.col("n_sh").alias("n_b")
+    )
+    n_inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", n_inter)
         .withColumn(
             "jaccard",
             F.round(
@@ -322,8 +371,8 @@ def simhash_df(
     each token once, then ONE codegen'd hash aggregate computes all
     n_bits signed sums (map-side combined). The bit string is assembled
     from the aggregate columns afterwards."""
-    tok = df.select(
-        F.col(id_col).alias("doc"),
+    tok = _widen(df.select(F.col(id_col).alias("doc"), F.col(text_col)), key="doc").select(
+        "doc",
         F.explode(tokens(F.col(text_col))).alias("t"),
     ).select("doc", F.xxhash64("t").alias("h"))
     aggs = [
@@ -353,7 +402,10 @@ def simhash_pairs(
     hamming ≤ (n_bands−1) collides on ≥1 band — pigeonhole), bucket-join,
     verify exact hamming distance ≤ max_hamming."""
     r = n_bits // n_bands
-    hashed = simhash_df(df, id_col, text_col, n_bits)
+    # per-doc result is one short row; eager-share it so the token
+    # explode + 64-bit-sum aggregate runs once, not once per downstream
+    # stage (profiled 5.4 s → 2.3 s at sf0.1, tools/ab_share.py)
+    hashed = _share(simhash_df(df, id_col, text_col, n_bits), eager=True)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -373,16 +425,19 @@ def simhash_pairs(
         .select("doc_a", "doc_b", "sh_a", "sh_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("sh_a"), ""),
-                F.split(F.col("sh_b"), ""),
-                lambda x, y: x != y,
-            ),
-            lambda z: z,
-        )
-    )
+    # codegen hamming: XOR 32-bit chunks and popcount — the per-pair
+    # verify is the hot path at corpus scale, and split/zip_with (three
+    # 64-element array allocations per pair, interpreted) is ~10× the
+    # cost of conv+bit_count (whole-stage codegen)
+    chunks = []
+    for c in range(0, n_bits, 32):
+        w = min(32, n_bits - c)
+        xa = F.conv(F.substring(F.col("sh_a"), c + 1, w), 2, 10).cast("long")
+        xb = F.conv(F.substring(F.col("sh_b"), c + 1, w), 2, 10).cast("long")
+        chunks.append(F.bit_count(xa.bitwiseXOR(xb)))
+    hamming = chunks[0]
+    for ch in chunks[1:]:
+        hamming = hamming + ch
     return (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
