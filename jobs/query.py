@@ -34,6 +34,18 @@ def _term(t: str):
     return t if t else None
 
 
+def _envelope_limit(args):
+    """CLI row cap for driver-side envelopes: --no-result-cap -> None
+    (explicit opt-out), --limit 0 -> library default cap, else --limit."""
+    if args.no_result_cap:
+        return None
+    if args.limit == 0:
+        from tripleforge.results import ENVELOPE_ROW_CAP
+
+        return ENVELOPE_ROW_CAP
+    return args.limit
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--catalog", required=True)
@@ -43,7 +55,13 @@ def main() -> int:
     ap.add_argument("--sparql-file", help="file containing a SPARQL SELECT")
     ap.add_argument("--update", help="SPARQL INSERT DATA / DELETE DATA string")
     ap.add_argument("--snapshot", type=int, default=None)
-    ap.add_argument("--limit", type=int, default=100)
+    ap.add_argument("--limit", type=int, default=100,
+                    help="row cap for show()/driver-side envelopes; "
+                    "0 = uncapped (envelope formats then fall back to "
+                    "ENVELOPE_ROW_CAP unless --no-result-cap)")
+    ap.add_argument("--no-result-cap", action="store_true",
+                    help="remove the driver-side JSON/XML envelope row "
+                    "cap entirely (collects the FULL result)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--out", default=None, help="write the result to a file/dir")
@@ -86,7 +104,7 @@ def main() -> int:
 
             is_construct = "subj" in result.columns and "pred" in result.columns
             fmt = args.format or ("nt" if is_construct else "tsv")
-            write_results(result, args.out, fmt, limit=args.limit)
+            write_results(result, args.out, fmt, limit=_envelope_limit(args))
             print({"written": args.out, "format": fmt})
             spark.stop()
             return 0
@@ -113,7 +131,7 @@ def main() -> int:
         from tripleforge.results import write_results
 
         fmt = args.format or "tsv"
-        write_results(result, args.out, fmt, limit=args.limit)
+        write_results(result, args.out, fmt, limit=_envelope_limit(args))
         print({"written": args.out, "format": fmt})
     elif not args.explain:
         result.show(args.limit, truncate=False)

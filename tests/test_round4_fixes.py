@@ -1,0 +1,255 @@
+"""Round-4 fixes: ADVICE r3 findings (update-sequence splitter '<',
+GRAPH ?var inside MINUS/EXISTS under dataset views, NOW() per-query,
+DISTINCT vs synthesized sort keys) and VERDICT r3 asks (aggregate
+DISTINCT, DESCRIBE *, envelope row cap). Reference analog: RDF4J
+SPARQL 1.1 conformance (public behavior of jgrzebyta/triple-loader);
+/root/reference is empty."""
+
+from __future__ import annotations
+
+import pytest
+
+from tripleforge import sparql
+from tripleforge.sparql import _split_update_sequence
+
+SCHEMA = (
+    "subj string, pred string, obj string, obj_kind string, "
+    "obj_dt string, obj_lang string, graph string"
+)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 medium: '<' in FILTER must not open an IRIREF scan
+# ---------------------------------------------------------------------------
+
+
+def test_update_sequence_splits_after_filter_less_than():
+    text = (
+        "DELETE { ?s <urn:p> ?o } WHERE { ?s <urn:p> ?o FILTER(?o < 5) } ; "
+        "INSERT DATA { <urn:a> <urn:p> <urn:b> }"
+    )
+    parts = _split_update_sequence(text)
+    assert len(parts) == 2
+    assert parts[0].strip().startswith("DELETE")
+    assert parts[1].strip().startswith("INSERT DATA")
+
+
+def test_update_sequence_less_than_before_brace_close():
+    # '<' as the LAST comparison before '}' — the old scanner swallowed
+    # to EOF and returned one segment with unbalanced braces
+    text = "DELETE WHERE { ?s ?p ?o FILTER(?o < ?p) };INSERT DATA { <u:a> <u:p> 1 }"
+    assert len(_split_update_sequence(text)) == 2
+
+
+def test_update_sequence_still_respects_iriref_semicolon():
+    # a ';' inside an IRIREF must NOT split
+    text = "INSERT DATA { <urn:a;x> <urn:p> 1 } ; INSERT DATA { <urn:b> <urn:p> 2 }"
+    parts = _split_update_sequence(text)
+    assert len(parts) == 2
+    assert "<urn:a;x>" in parts[0]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 medium: GRAPH ?var inside MINUS/EXISTS under FROM/FROM NAMED
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ds(spark):
+    rows = [
+        # urn:g0 becomes the (marker-relabelled) default graph under
+        # FROM <urn:g0>; a leaky marker row for urn:a would wrongly
+        # satisfy EXISTS / trigger MINUS inside GRAPH ?g blocks
+        ("urn:a", "urn:p", "1", "literal", None, None, "urn:g1"),
+        ("urn:b", "urn:p", "2", "literal", None, None, "urn:g1"),
+        ("urn:a", "urn:q", "x", "literal", None, None, "urn:g0"),
+        ("urn:b", "urn:q", "y", "literal", None, None, "urn:g1"),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+# NOTE: explicit `GRAPH ?v { … }` INSIDE MINUS/EXISTS is rejected at
+# parse time; the reachable path (ADVICE r3) is graph-term INHERITANCE:
+# MINUS/EXISTS written inside a GRAPH ?g block evaluates its patterns
+# with g = ?g, and under FROM/FROM NAMED those sub-BGPs scan the
+# dataset view — marker-relabelled default rows must never bind ?g.
+
+
+def test_inherited_graph_var_in_minus_ignores_default_rows(ds):
+    # default graph (urn:g0) holds (urn:a urn:q x); within named graphs
+    # only urn:b has an urn:q statement → MINUS removes urn:b only.
+    out = sparql.select(
+        ds,
+        "SELECT ?s FROM <urn:g0> FROM NAMED <urn:g1> WHERE "
+        "{ GRAPH ?g { ?s <urn:p> ?o MINUS { ?s <urn:q> ?x } } }",
+    )
+    assert sorted(r.s for r in out.collect()) == ["urn:a"]
+
+
+def test_inherited_graph_var_in_exists_ignores_default_rows(ds):
+    out = sparql.select(
+        ds,
+        "SELECT ?s FROM <urn:g0> FROM NAMED <urn:g1> WHERE "
+        "{ GRAPH ?g { ?s <urn:p> ?o FILTER EXISTS { ?s <urn:q> ?x } } }",
+    )
+    assert sorted(r.s for r in out.collect()) == ["urn:b"]
+
+
+def test_explicit_graph_inside_minus_rejected(ds):
+    with pytest.raises(sparql.SparqlError, match="GRAPH inside MINUS"):
+        sparql.select(
+            ds,
+            "SELECT ?s FROM <urn:g0> WHERE { ?s <urn:p> ?o "
+            "MINUS { GRAPH ?g { ?s <urn:p> ?o } } }",
+        )
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 low: NOW() fixed per query
+# ---------------------------------------------------------------------------
+
+
+def test_now_single_value_per_query(spark):
+    df = spark.createDataFrame(
+        [("urn:s", "urn:p", "1", "literal", None, None, None)], SCHEMA
+    )
+    out = sparql.select(
+        df,
+        "SELECT ?a ?b WHERE { ?s ?p ?o BIND(NOW() AS ?a) BIND(NOW() AS ?b) }",
+    ).collect()
+    assert len(out) == 1 and out[0].a == out[0].b
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 low: DISTINCT must not key on synthesized sort aggregates
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_collapses_despite_order_by_aggregate(spark):
+    rows = [
+        ("urn:s1", "urn:p", "1", "literal", None, None, None),
+        ("urn:s1", "urn:p", "2", "literal", None, None, None),
+        ("urn:s2", "urn:p", "3", "literal", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    # project only the constant-ish ?p: conforming DISTINCT collapses
+    # both groups to ONE row even though ORDER BY COUNT(*) synthesizes
+    # a per-group aggregate column
+    out = sparql.select(
+        df,
+        "SELECT DISTINCT ?p WHERE { ?s ?p ?o } "
+        "GROUP BY ?s ?p ORDER BY DESC(COUNT(*))",
+    ).collect()
+    assert len(out) == 1 and out[0].p == "urn:p"
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #5: SUM/AVG/GROUP_CONCAT(DISTINCT …)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    rows = [
+        ("urn:s1", "urn:v", "10", "literal", None, None, None),
+        ("urn:s1", "urn:v", "10", "literal", None, None, None),
+        ("urn:s1", "urn:v", "20", "literal", None, None, None),
+        ("urn:s2", "urn:v", "5", "literal", None, None, None),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_sum_distinct(nums):
+    out = sparql.select(
+        nums,
+        "SELECT ?s (SUM(DISTINCT ?v) AS ?t) WHERE { ?s <urn:v> ?v } "
+        "GROUP BY ?s ORDER BY ?s",
+    ).collect()
+    assert [(r.s, r.t) for r in out] == [("urn:s1", 30.0), ("urn:s2", 5.0)]
+
+
+def test_avg_distinct(nums):
+    out = sparql.select(
+        nums,
+        "SELECT ?s (AVG(DISTINCT ?v) AS ?a) WHERE { ?s <urn:v> ?v } "
+        "GROUP BY ?s ORDER BY ?s",
+    ).collect()
+    assert [(r.s, r.a) for r in out] == [("urn:s1", 15.0), ("urn:s2", 5.0)]
+
+
+def test_group_concat_and_count_distinct(nums):
+    out = sparql.select(
+        nums,
+        "SELECT ?s (GROUP_CONCAT(DISTINCT ?v; SEPARATOR=\",\") AS ?c) "
+        "(COUNT(DISTINCT ?v) AS ?n) WHERE { ?s <urn:v> ?v } "
+        "GROUP BY ?s ORDER BY ?s",
+    ).collect()
+    assert [(r.s, r.c, r.n) for r in out] == [
+        ("urn:s1", "10,20", 2), ("urn:s2", "5", 1),
+    ]
+
+
+def test_min_max_distinct_are_identity(nums):
+    out = sparql.select(
+        nums,
+        "SELECT (MIN(DISTINCT ?v) AS ?lo) (MAX(DISTINCT ?v) AS ?hi) "
+        "WHERE { ?s <urn:v> ?v }",
+    ).collect()
+    assert (out[0].lo, out[0].hi) == (5.0, 20.0)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #8: DESCRIBE *
+# ---------------------------------------------------------------------------
+
+
+def test_describe_star(spark):
+    rows = [
+        ("urn:a", "urn:p", "urn:b", "iri", None, None, None),
+        ("urn:b", "urn:q", "1", "literal", None, None, None),
+        ("urn:c", "urn:q", "2", "literal", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sparql.describe(df, "DESCRIBE * WHERE { ?s <urn:p> ?o }")
+    # in-scope vars {s, o} bind {urn:a, urn:b}: their subject rows plus
+    # statements with them as IRI objects; urn:c is NOT described
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert got == {
+        ("urn:a", "urn:p", "urn:b"),
+        ("urn:b", "urn:q", "1"),
+    }
+
+
+def test_describe_star_needs_where(spark):
+    df = spark.createDataFrame(
+        [("urn:a", "urn:p", "urn:b", "iri", None, None, None)], SCHEMA
+    )
+    with pytest.raises(sparql.SparqlError, match="DESCRIBE \\* needs"):
+        sparql.describe(df, "DESCRIBE *")
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #7: driver-side envelope row cap
+# ---------------------------------------------------------------------------
+
+
+def test_envelope_cap_default_and_opt_out(spark, monkeypatch):
+    from tripleforge import results
+
+    df = spark.range(50).selectExpr("cast(id as string) as v")
+    monkeypatch.setattr(results, "ENVELOPE_ROW_CAP", 10)
+    # default argument binds at def time — call with the patched cap
+    doc = results.sparql_results_json(df, limit=results.ENVELOPE_ROW_CAP)
+    assert len(doc["results"]["bindings"]) == 10
+    # the DEFAULT (unpatched) cap is a real number, not None
+    import inspect
+
+    sig = inspect.signature(results.sparql_results_json)
+    assert sig.parameters["limit"].default == 100_000
+    assert (
+        inspect.signature(results.sparql_results_xml).parameters["limit"].default
+        == 100_000
+    )
+    # explicit opt-out collects everything
+    doc = results.sparql_results_json(df, limit=None)
+    assert len(doc["results"]["bindings"]) == 50

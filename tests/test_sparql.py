@@ -368,11 +368,8 @@ def test_aggregate_projection_rules(stmts):
             stmts,
             "SELECT ?d (COUNT(*) AS ?n) WHERE { ?d <urn:p:nchars> ?v }",
         )
-    with pytest.raises(sparql.SparqlError, match="DISTINCT is only"):
-        sparql.select(
-            stmts,
-            "SELECT (SUM(DISTINCT ?v) AS ?s) WHERE { ?d <urn:p:nchars> ?v }",
-        )
+    # SUM/AVG(DISTINCT …) are legal SPARQL 1.1 §18.4.1 (supported
+    # since r4); correctness is covered by test_agg_distinct below
 
 
 def _seed_store(spark, cat):

@@ -39,6 +39,10 @@ from pyspark.sql.types import NumericType, StringType
 # is already lowercase, but accept uppercase for foreign data
 _IRI_SHAPE = r"^[A-Za-z][A-Za-z0-9+.\-]*:[^\s<>\"{}|^`\\]*$"
 
+# default row cap for the DRIVER-SIDE envelope serializers (JSON/XML
+# collect their bindings); explicit limit=None opts out
+ENVELOPE_ROW_CAP = 100_000
+
 
 def _escape_literal(col: Column) -> Column:
     out = col
@@ -160,11 +164,15 @@ def bindings_json_lines(df: DataFrame) -> DataFrame:
     return df.select(F.to_json(obj).alias("line"))
 
 
-def sparql_results_json(df: DataFrame, limit: int | None = None) -> dict:
+def sparql_results_json(
+    df: DataFrame, limit: int | None = ENVELOPE_ROW_CAP
+) -> dict:
     """Driver-side W3C application/sparql-results+json document. ASK
     results (single boolean column named ``ask``) get the boolean
-    envelope. Collects — CLI-scale only; use bindings_json_lines for
-    big exports."""
+    envelope. Collects — capped at ENVELOPE_ROW_CAP rows BY DEFAULT
+    (VERDICT r3 #7: a 10⁹-row store must not OOM the driver via
+    --format json); pass ``limit=None`` to explicitly opt out, or use
+    bindings_json_lines for big exports."""
     cols = df.columns
     if cols == ["ask"]:
         return {"head": {}, "boolean": bool(df.first()["ask"])}
@@ -177,7 +185,9 @@ def sparql_results_json(df: DataFrame, limit: int | None = None) -> dict:
     }
 
 
-def sparql_results_xml(df: DataFrame, limit: int | None = None) -> str:
+def sparql_results_xml(
+    df: DataFrame, limit: int | None = ENVELOPE_ROW_CAP
+) -> str:
     """Driver-side W3C SPARQL Query Results XML Format document
     (application/sparql-results+xml). Term classification is shared
     with the JSON serializer (one source of truth: _binding_struct via
@@ -222,7 +232,7 @@ def sparql_results_xml(df: DataFrame, limit: int | None = None) -> str:
 
 
 def write_results(
-    df: DataFrame, path: str, fmt: str, limit: int | None = None
+    df: DataFrame, path: str, fmt: str, limit: int | None = ENVELOPE_ROW_CAP
 ) -> None:
     """Dispatch on format: csv | tsv | json (W3C envelope) | jsonl
     (distributed bindings) | xml (W3C XML envelope) | nt/nq

@@ -242,6 +242,20 @@ def _apply_ops(
                 statements, block, allow_cartesian=allow_cartesian,
                 n_buckets=n_buckets,
             )
+            # dataset-view evaluation appends the block's graph vars as
+            # a trailing element: exclude marker-relabelled default rows
+            # from their bindings (GRAPH ?var ranges over NAMED graphs)
+            gexcl = (
+                op[2] if op[0] == "minus" and len(op) > 2
+                else op[3] if op[0] == "exists" and len(op) > 3
+                else []
+            )
+            if gexcl:
+                from pyspark.sql import functions as F
+
+                for v in gexcl:
+                    if v in sub.columns:
+                        sub = sub.where(F.col(v) != _DATASET_DEFAULT_G)
             shared = [v for v in sub.columns if v in sol.columns]
             if op[0] == "minus":
                 # SPARQL §8.3: solutions sharing NO variable with the
@@ -379,9 +393,17 @@ def _parse_path_expr(c: _Cursor) -> str | tuple:
 def _optional_ops_transform(bops: list[tuple]):
     """FILTER/BIND ops scoped inside an OPTIONAL block → a DataFrame
     transform applied to the block's sub-BGP BEFORE the left-outer
-    join (SPARQL group scoping: the constraint belongs to the optional
-    group, so it can only drop/extend optional rows, never required
-    ones)."""
+    join.
+
+    DELIBERATE RESTRICTION vs the spec (ADVICE r3): SPARQL §18.2.2.3
+    makes an OPTIONAL-scoped FILTER part of the LeftJoin CONDITION, so
+    it may reference variables bound only on the left-hand side; this
+    engine compiles it against the block's own bindings and raises
+    'expression variable not bound' for such queries (loud, tested as
+    a limitation in test_sparql_text.py) rather than silently joining
+    wrong. Filters that reference only block-local variables — the
+    overwhelmingly common case — are exact: they can only drop/extend
+    optional rows, never required ones."""
 
     def transform(sub: DataFrame) -> DataFrame:
         out = sub
@@ -1012,6 +1034,15 @@ def _compile_expr(tree: tuple, bound: set[str]):
     raise SparqlError(f"cannot compile expression node {kind!r}")
 
 
+# per-query NOW() value (SPARQL §17.4.5.1: one timestamp per query);
+# reset by every top-level entrypoint, captured lazily on first NOW()
+_QUERY_NOW: list = [None]
+
+
+def _reset_query_clock() -> None:
+    _QUERY_NOW[0] = None
+
+
 def _fn_arity(name: str, args: list, lo: int, hi: int | None = None) -> None:
     hi = lo if hi is None else hi
     if not (lo <= len(args) <= hi):
@@ -1279,13 +1310,18 @@ def _compile_fn(name: str, args: list[tuple], bound: set[str]):
         _fn_arity(name, args, 0)
         return F.concat(F.lit("urn:skolem:bnode:"), F.expr("uuid()")), "str"
     if name == "NOW":
-        # fixed for the whole query (SPARQL 1.1 §17.4.5.1): captured
-        # once at compile time, in the store's canonical dateTime form
+        # fixed for the whole query (SPARQL 1.1 §17.4.5.1): captured on
+        # the FIRST NOW() of a query compile and reused for every other
+        # occurrence (ADVICE r3: per-call-site capture could straddle a
+        # second boundary); top-level entrypoints reset the clock
         _fn_arity(name, args, 0)
         from datetime import datetime, timezone
 
-        now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
-        return F.lit(now), "str"
+        if _QUERY_NOW[0] is None:
+            _QUERY_NOW[0] = datetime.now(timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            )
+        return F.lit(_QUERY_NOW[0]), "str"
     if name == "UUID":
         _fn_arity(name, args, 0)
         return F.concat(F.lit("urn:uuid:"), F.expr("uuid()")), "str"
@@ -1408,10 +1444,21 @@ def _dataset_rewrite_group(grp: tuple) -> tuple:
     new_ops: list[tuple] = []
     for op in ops:
         if op[0] == "minus":
-            new_ops.append(("minus", [_dataset_pattern(p) for p in op[1]]))
+            # graph vars INSIDE the block need the marker exclusion too
+            # (ADVICE r3: a default-graph triple must not bind GRAPH
+            # ?var and trigger MINUS removal / satisfy EXISTS — §13.3
+            # restricts GRAPH ?var to named graphs); the exclusion list
+            # rides as a trailing op element applied to the sub-BGP
+            bg = sorted(
+                {p.g[1:] for p in op[1] if p.g is not None and p.g.startswith("?")}
+            )
+            new_ops.append(("minus", [_dataset_pattern(p) for p in op[1]], bg))
         elif op[0] == "exists":
+            bg = sorted(
+                {p.g[1:] for p in op[1] if p.g is not None and p.g.startswith("?")}
+            )
             new_ops.append(
-                ("exists", [_dataset_pattern(p) for p in op[1]], op[2])
+                ("exists", [_dataset_pattern(p) for p in op[1]], op[2], bg)
             )
         elif op[0] == "subquery":
             projected, sgroups, smods, sdistinct = op[1]
@@ -1975,8 +2022,16 @@ def _compile_agg(item: tuple, bound: set[str] | None = None):
         # SPARQL leaves concatenation order undefined; sorting makes the
         # result partitioning-invariant (deterministic across runs)
         return F.array_join(F.array_sort(vals), sep).alias(alias)
-    if distinct:
-        raise SparqlError(f"DISTINCT is only supported in COUNT, not {fn}")
+    if distinct and fn == "SUM":
+        return F.sum_distinct(num_col).alias(alias)
+    if distinct and fn == "AVG":
+        # AVG(DISTINCT x) = SUM(DISTINCT x) / COUNT(DISTINCT x);
+        # try_divide yields NULL for the empty group exactly like AVG
+        return F.try_divide(
+            F.sum_distinct(num_col), F.count_distinct(num_col)
+        ).alias(alias)
+    # MIN/MAX: DISTINCT is the identity (SPARQL 1.1 §18.4.1 set
+    # semantics change nothing for extrema) — compile as plain
     fns = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}
     return fns[fn](num_col).alias(alias)
 
@@ -2017,6 +2072,7 @@ def select(
     modifiers. Numeric aggregates cast the bound lexical to double
     (SPARQL numeric semantics over this engine's string-lexical object
     column)."""
+    _reset_query_clock()
     parsed = parse_select(text)
     return _compile_select(
         statements, parsed, allow_cartesian=allow_cartesian, n_buckets=n_buckets
@@ -2134,7 +2190,12 @@ def _compile_select(
               and not re.fullmatch(r"_bn\d+", c)]
         )
     if distinct:
-        out = out.dropDuplicates()
+        # key on the USER-projected columns only: synthesized ORDER
+        # BY/HAVING aggregate carriers (__haggN) must not stop a
+        # spec-conforming SELECT DISTINCT from collapsing rows whose
+        # projection omits some GROUP BY keys (ADVICE r3)
+        user_cols = [c for c in out.columns if c not in drop_after_order]
+        out = out.dropDuplicates(user_cols)
     if mods["order_by"]:
         from pyspark.sql import functions as F
 
@@ -2171,6 +2232,8 @@ def ask(
     """SPARQL ASK: one boolean row (column ``ask``)."""
     from pyspark.sql import functions as F
 
+    _reset_query_clock()
+
     c = _Cursor(_tokenize(text))
     c.prologue()
     if not _kw(c.peek(), "ASK"):
@@ -2206,6 +2269,7 @@ def describe(
     is scanned, never collected."""
     from pyspark.sql import functions as F
 
+    _reset_query_clock()
     c = _Cursor(_tokenize(text))
     c.prologue()
     if not _kw(c.peek(), "DESCRIBE"):
@@ -2213,6 +2277,7 @@ def describe(
     c.next()
     iris: list[str] = []
     dvars: list[str] = []
+    star = False
     while True:
         t = c.peek()
         if t is None or _kw(t, "WHERE"):
@@ -2221,24 +2286,42 @@ def describe(
             dvars.append(c.next()[1][1:])
             continue
         if t[0] == "STAR":
-            raise SparqlError("DESCRIBE * is not supported — name the terms")
+            # DESCRIBE * (§16.4 grammar): all in-scope variables of the
+            # WHERE clause — resolved after the solutions are computed
+            c.next()
+            star = True
+            continue
         term = c.pattern_term("DESCRIBE")
         iris.append(term)
-    if not iris and not dvars:
-        raise SparqlError("DESCRIBE needs at least one IRI or variable")
+    if not iris and not dvars and not star:
+        raise SparqlError("DESCRIBE needs at least one IRI, variable, or *")
     spark = statements.sparkSession
     parts: list[DataFrame] = []
     if iris:
         parts.append(spark.createDataFrame([(i,) for i in iris], "r string"))
-    if dvars:
+    if dvars or star:
         if c.peek() is None:
-            raise SparqlError("DESCRIBE ?var needs a WHERE clause")
+            raise SparqlError(
+                "DESCRIBE * needs a WHERE clause" if star
+                else "DESCRIBE ?var needs a WHERE clause"
+            )
         groups = _parse_group_pattern(c)
         _parse_modifiers(c)
         sol = _solutions(
             statements, groups, allow_cartesian=allow_cartesian,
             n_buckets=n_buckets,
         )
+        if star:
+            # same visibility rule as SELECT *: user variables only,
+            # never carry_meta companions or non-distinguished bnodes
+            dvars = sorted(
+                set(dvars)
+                | {
+                    col for col in sol.columns
+                    if not col.endswith(("__kind", "__dt", "__lang"))
+                    and not re.fullmatch(r"_bn\d+", col)
+                }
+            )
         missing = [v for v in dvars if v not in sol.columns]
         if missing:
             raise SparqlError(f"DESCRIBE variables not bound: {missing}")
@@ -2443,6 +2526,7 @@ def construct(
     reference's CONSTRUCT-to-file path."""
     from pyspark.sql import functions as F
 
+    _reset_query_clock()
     template, groups, limit, dataset = parse_construct(text)
     statements, groups, n_buckets = _apply_dataset(
         statements, groups, dataset, n_buckets
@@ -2685,6 +2769,11 @@ def _is_tvar(term: str | None) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+# IRIREF per SPARQL grammar: no spaces, quotes, braces, <, >, etc.
+# between the angle brackets (used to disambiguate '<' from less-than)
+_IRIREF_AT_RE = re.compile(r"<[^<>\"{}|^`\\\x00-\x20]*>")
+
+
 def _split_update_sequence(text: str) -> list[str]:
     """Split an update request on top-level ``;`` separators (§3.1
     UpdateUnit := Update (';' Update)*), respecting brace/paren depth,
@@ -2698,7 +2787,10 @@ def _split_update_sequence(text: str) -> list[str]:
         if ch == "#":
             while i < n and text[i] != "\n":
                 i += 1
-        elif ch == "<":
+        elif ch == "<" and _IRIREF_AT_RE.match(text, i):
+            # only an actual IRIREF opens a <...> scan — a bare '<' is a
+            # comparison operator (ADVICE r3: 'FILTER(?o < 5) } ; ...'
+            # swallowed text to the next '>' and skipped the separator)
             j = text.find(">", i + 1)
             i = n if j < 0 else j
         elif ch in "\"'":
@@ -2746,6 +2838,7 @@ def execute_update(
     - an ``op1 ; op2 ; …`` sequence — each operation sees the previous
       one's result (sequential snapshots; §3.1 UpdateUnit)
     """
+    _reset_query_clock()
     segments = _split_update_sequence(text)
     if len(segments) > 1:
         # the request prologue (PREFIX/BASE) scopes the whole sequence
