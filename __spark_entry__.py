@@ -285,6 +285,45 @@ def q_kg_trig(spark, sf):
     return stmts.groupBy("graph").agg(F.count(F.lit(1)).alias("n_triples"))
 
 
+def _jsonld_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JSON-LD files (A-family r4): per doc, a named
+    @graph node holding three triples (term mapping, @type coercion to
+    @id, compact-IRI datatype) plus one property on the graph node
+    itself (default graph -> injected urn:repo:<source> context) --
+    exercises @context processing, value objects, and named graphs."""
+    docs = read_table(spark, sf_dir, "documents")
+    content = F.format_string(
+        '{"@context": {"xsd": "http://www.w3.org/2001/XMLSchema#",'
+        ' "nchars": {"@id": "urn:p:nchars", "@type": "xsd:integer"},'
+        ' "src": {"@id": "urn:p:source", "@type": "@id"},'
+        ' "label": "urn:p:label"},'
+        ' "@id": "urn:graph:%s", "label": "doc%d",'
+        ' "@graph": [{"@id": "urn:doc:%d", "@type": "urn:t:Doc",'
+        ' "nchars": "%d", "src": "urn:src:%s"}]}',
+        F.col("source"),
+        F.col("doc_id"),
+        F.col("doc_id"),
+        F.col("n_chars"),
+        F.col("source"),
+    )
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.format_string("docs/doc_%d.jsonld", F.col("doc_id")).alias("path"),
+        F.md5(F.col("source")).alias("commit"),
+        F.lit("JSON-LD").alias("lang"),
+        content.alias("content"),
+    )
+
+
+def q_kg_jsonld(spark, sf):
+    """A3 + JSON-LD parser (r4): full build over JSON-LD files ->
+    triples per graph. @graph-block triples land in urn:graph:<source>;
+    the graph node's own property takes the injected urn:repo:<source>
+    context -- mirroring kg_trig's quad-wins-over-context shape."""
+    stmts, _ = transform(_jsonld_corpus(spark, sf), BuildConfig(link_entities=False))
+    return stmts.groupBy("graph").agg(F.count(F.lit(1)).alias("n_triples"))
+
+
 def q_kg_sha256(spark, sf):
     """A2 fingerprint invariant surfaced as a query: per repo, distinct
     content hashes."""
@@ -1052,7 +1091,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query is driver-checked at least once across r1-r3; all of them run
     in pytest/check_oracles regardless of position (COVERAGE.md §r3)."""
     return {
-        # new this round (r3)
+        # new this round (r4) — never driver-checked
+        "kg_jsonld": q_kg_jsonld,
+        # not value-checked by the driver since r2 (the r3 50-entry cap
+        # cut them; the r3 judge re-ran them manually) — VERDICT r3 #4
+        "topk": q_topk,
+        "set_intersect": q_set_ops,
+        "set_except": q_except,
+        "pivot": q_pivot,
+        "explode_arrays": q_explode_arrays,
+        "json_extract": q_json_extract,
+        "range_join": q_range_join,
+        "asof_join": q_asof_join,
+        "grouped_udaf": q_grouped_udaf,
+        "unpivot": q_unpivot,
+        "collect_set": q_collect_set,
+        "ntile": q_ntile,
+        "date_trunc": q_date_trunc,
+        "levenshtein": q_levenshtein,
+        "corr_stats": q_corr_stats,
+        "percentiles": q_percentiles,
+        "rank_variants": q_rank_variants,
+        "map_funcs": q_map_funcs,
+        # rows-only by design (sketch/RNG) with exact pytest oracles
+        "approx_distinct": q_approx_distinct,
+        "sampling": q_sampling,
+        # r3 rows-only entries (engine hash fns / iterative IVF): keep
+        # in the driver window so the rows-only check re-runs
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_ivf": q_ann_ivf,
+        # r4 perf-reworked ops: re-verify value-exact after restructure
+        "jaccard_pairs": q_jaccard_pairs,
+        # driver-checked in r3 (CORRECTNESS_r03) — fill the remaining
+        # window, most-recently-changed subsystems first
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_group_concat": q_kg_group_concat,
         "kg_sparql_expr": q_kg_sparql_expr,
@@ -1065,16 +1137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optfilter": q_kg_sparql_optfilter,
         "kg_sparql_bnode": q_kg_sparql_bnode,
         "kg_sparql_aggexpr": q_kg_sparql_aggexpr,
-        # omitted from the driver's r2 file by the 50-entry cap
-        "jaccard_pairs": q_jaccard_pairs,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "ann_ivf": q_ann_ivf,
         "multimodal_meta": q_multimodal_meta,
-        # KG construction (SURVEY §2.A)
         "kg_flagship": q_kg_flagship,
         "kg_linking_cc": q_kg_linking_cc,
         "kg_bgp": q_kg_bgp,
@@ -1086,13 +1152,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_delete_analog": q_kg_delete_analog,
         "kg_trig": q_kg_trig,
         "kg_sha256": q_kg_sha256,
-        # training-data ops
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_fingerprint,
         "token_counts": q_token_counts,
         "quality_score": q_quality,
         "langid": q_langid,
-        # relational surface (SURVEY §2.B)
+        # tail: value-verified by the driver in r3 AND by earlier
+        # rounds; still pytest/check_oracles-covered every round
         "pruned_scan": q_pruned_scan,
         "agg_pricing": q_agg_pricing,
         "join_broadcast": q_join_broadcast,
@@ -1107,30 +1173,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame": q_range_frame,
         "window_lag": q_window_lag,
         "window_running": q_window_running,
-        "topk": q_topk,
-        "set_intersect": q_set_ops,
-        "set_except": q_except,
-        "pivot": q_pivot,
-        "explode_arrays": q_explode_arrays,
-        "json_extract": q_json_extract,
-        "range_join": q_range_join,
-        "asof_join": q_asof_join,
-        "grouped_udaf": q_grouped_udaf,
-        # rotation tail: value-verified by the driver in BOTH r1 and r2
-        # (CORRECTNESS_r01/r02); still pytest/check_oracles-covered.
-        # approx_distinct/sampling are rows-only by design (sketch/RNG)
-        # with exact pytest oracles (tests/test_rows_only_oracles.py)
-        "approx_distinct": q_approx_distinct,
-        "sampling": q_sampling,
-        "unpivot": q_unpivot,
-        "collect_set": q_collect_set,
-        "ntile": q_ntile,
-        "date_trunc": q_date_trunc,
-        "levenshtein": q_levenshtein,
-        "corr_stats": q_corr_stats,
-        "percentiles": q_percentiles,
-        "rank_variants": q_rank_variants,
-        "map_funcs": q_map_funcs,
     }
 
 
@@ -1312,6 +1354,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_trig": """
             SELECT 'urn:graph:' || source AS graph,
                    2 * COUNT(*) AS n_triples
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'urn:repo:' || source AS graph,
+                   COUNT(*) AS n_triples
+            FROM documents GROUP BY source
+        """,
+        "kg_jsonld": """
+            SELECT 'urn:graph:' || source AS graph,
+                   3 * COUNT(*) AS n_triples
             FROM documents GROUP BY source
             UNION ALL
             SELECT 'urn:repo:' || source AS graph,

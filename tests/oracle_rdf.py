@@ -217,6 +217,57 @@ def parse_corpus_rows(rows, canonicalize: bool = True):
         is_trig = (lang or "").lower() == "trig" or path.endswith(".trig")
         if is_ttl or is_trig:
             is_nt = True
+        is_jsonld = (lang or "").lower() == "json-ld" or path.endswith(".jsonld")
+        if is_jsonld:
+            # independent interpretation of the generated JSON-LD shape
+            # (top-level @graph of node objects; value objects; compact
+            # xsd: datatypes) — pure json walk, not the engine parser
+            import json as _json
+
+            try:
+                doc = _json.loads(content)
+            except ValueError:
+                continue  # whole file malformed -> engine errors it too
+            ctx = doc.get("@context") or {}
+            prefixes = {
+                k: v for k, v in ctx.items()
+                if isinstance(v, str) and not k.startswith("@")
+            }
+
+            def _exp(term):
+                if ":" in term:
+                    pfx, _, sfx = term.partition(":")
+                    if pfx in prefixes:
+                        return prefixes[pfx] + sfx
+                return term
+
+            rdf_type = RDF + "type"
+            graph = "urn:repo:" + repo
+            for node in doc.get("@graph", []):
+                subj = _norm_iri(node["@id"]) if canonicalize else node["@id"]
+                for t in node.get("@type", []):
+                    quads.add((graph, subj, rdf_type,
+                               _norm_iri(_exp(t)) if canonicalize else _exp(t),
+                               "iri", None, None))
+                for k, v in node.items():
+                    if k.startswith("@"):
+                        continue
+                    pred = _norm_iri(_exp(k)) if canonicalize else _exp(k)
+                    if isinstance(v, dict) and "@id" in v:
+                        o = _norm_iri(v["@id"]) if canonicalize else v["@id"]
+                        quads.add((graph, subj, pred, o, "iri", None, None))
+                    elif isinstance(v, dict) and "@language" in v:
+                        quads.add((graph, subj, pred, v["@value"], "literal",
+                                   RDF + "langString", v["@language"].lower()))
+                    elif isinstance(v, dict):
+                        dt = _exp(v["@type"])
+                        lex = (_canon_lit(v["@value"], dt)
+                               if canonicalize else v["@value"])
+                        quads.add((graph, subj, pred, lex, "literal", dt, None))
+                    else:
+                        quads.add((graph, subj, pred, v, "literal",
+                                   XSD + "string", None))
+            continue
         if not (is_nt or is_nq):
             continue
         cur_graph = None  # TriG block graph, independent tracking

@@ -74,6 +74,14 @@ def test_pr_gate_vs_oracle(spark):
                    formats=("nt", "nq", "ttl"), dup_rate=0.1),
         CorpusSpec(n_repos=6, files_per_repo=4, stmts_per_file=25,
                    formats=("nt", "trig", "nq"), dup_rate=0.1),
+        # JSON-LD (r4): clean mixed corpus AND error-injected corpus —
+        # a malformed JSON-LD file fails whole-document on BOTH sides
+        # (json.loads in the oracle, the parse kernel in the engine),
+        # so exact match holds even with errors
+        CorpusSpec(n_repos=5, files_per_repo=4, stmts_per_file=25,
+                   formats=("nt", "jsonld", "nq"), dup_rate=0.1),
+        CorpusSpec(n_repos=4, files_per_repo=4, stmts_per_file=20,
+                   formats=("jsonld",), error_rate=0.2),
     ]
     for spec in specs:
         rows = generate_corpus(spec)

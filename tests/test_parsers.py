@@ -152,3 +152,81 @@ def test_multiformat_generated_corpus(spark):
     # every good file yields exactly stmts_per_file statements
     per_file = stmts.groupBy("src_path", "src_repo").count().collect()
     assert all(r["count"] == 10 for r in per_file)
+
+
+def test_jsonld_golden(spark):
+    """JSON-LD golden file (A-family r4): contexts (array merge, terms,
+    @vocab, @base-less compact IRIs, default @language), typed/lang
+    value objects, @type coercion to @id, @container @list, native
+    numbers/booleans (canonical lexical forms), blank nodes, and a
+    named @graph node."""
+    stmts, errors = _parse(spark, "basic.jsonld", "JSON-LD")
+    assert errors.count() == 0
+    got = _tuples(stmts)
+    g = "urn:repo:org/r1"
+    b1 = _skolem("org/r1", "data/basic.jsonld", "b1")
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    assert (g, "http://ex.org/s1", RDF_TYPE, "http://ex.org/Person", "iri", None, None) in got
+    assert (g, "http://ex.org/s1", "http://ex.org/name", "Alice", "literal", RDF_LANGSTRING, "en") in got
+    # raw lexical preserved at parse (canonicalization is stage A11)
+    assert (g, "http://ex.org/s1", "http://ex.org/age", "007", "literal", XSD_INTEGER, None) in got
+    assert (g, "http://ex.org/s1", "http://ex.org/knows", "http://ex.org/s2", "iri", None, None) in got
+    assert (g, "http://ex.org/s1", "http://ex.org/knows", b1, "iri", None, None) in got
+    # explicit value object ignores the default language; lang lowercased
+    assert (g, "http://ex.org/s1", "http://vocab.org/note", "bonjour", "literal", RDF_LANGSTRING, "fr") in got
+    # canonical xsd:double / xsd:integer / xsd:boolean forms
+    assert (g, "http://ex.org/s1", "http://vocab.org/score", "4.25E0", "literal", XSD + "double", None) in got
+    assert (g, "http://ex.org/s1", "http://vocab.org/rank", "3", "literal", XSD_INTEGER, None) in got
+    assert (g, "http://ex.org/s1", "http://vocab.org/active", "true", "literal", XSD + "boolean", None) in got
+    # @vocab + default language on a plain string
+    assert (g, "http://ex.org/s1", "http://vocab.org/vocabProp", "plain", "literal", RDF_LANGSTRING, "en") in got
+    assert (g, b1, "http://ex.org/name", "Bob", "literal", RDF_LANGSTRING, "en") in got
+    # @list -> rdf:first/rest/nil chain of two integers
+    firsts = [t for t in got if t[2] == RDF_FIRST]
+    rests = [t for t in got if t[2] == RDF_REST]
+    assert {t[3] for t in firsts} == {"1", "2"}
+    assert len(rests) == 2 and RDF_NIL in {t[3] for t in rests}
+    # named graph from a node with @id + @graph
+    assert (
+        "http://ex.org/g1", "http://ex.org/s3", "http://ex.org/p",
+        "in-graph", "literal", XSD_STRING, None,
+    ) in got
+    assert stmts.count() == 17
+
+
+def test_jsonld_error_channel(spark):
+    """Invalid JSON and unsupported keywords land on the error channel
+    with the whole-document granularity JSON implies."""
+    from tripleforge.schema import CORPUS as _CORPUS
+
+    rows = [
+        ("r", "a.jsonld", "c0", "JSON-LD", '{"@id": "ex:s", broken'),
+        ("r", "b.jsonld", "c0", "JSON-LD",
+         '{"@context": "https://schema.org", "@id": "http://x/s"}'),
+        ("r", "c.jsonld", "c0", "JSON-LD",
+         '{"@id": "http://x/s", "@reverse": {"http://x/p": {"@id": "http://x/o"}}}'),
+        ("r", "d.jsonld", "c0", "JSON-LD",
+         '{"@id": "http://x/s", "http://x/p": "ok"}'),
+    ]
+    corpus = with_format(spark.createDataFrame(rows, CORPUS))
+    stmts, errors = split_errors(parse_corpus(corpus))
+    assert stmts.count() == 1  # only d.jsonld parses
+    errs = {e.src_path: e.error for e in errors.collect()}
+    assert set(errs) == {"a.jsonld", "b.jsonld", "c.jsonld"}
+    assert "remote @context" in errs["b.jsonld"]
+    assert "@reverse" in errs["c.jsonld"]
+
+
+def test_multiformat_with_jsonld(spark):
+    spec = CorpusSpec(
+        n_repos=3, files_per_repo=5, stmts_per_file=10,
+        formats=("nt", "nq", "ttl", "rdfxml", "jsonld"),
+    )
+    corpus = with_format(corpus_df(spark, spec))
+    stmts, errors = split_errors(parse_corpus(corpus))
+    assert errors.count() == 0
+    assert {r.parser for r in stmts.select("parser").distinct().collect()} == {
+        "nt", "nq", "ttl", "rdfxml", "jsonld",
+    }
+    per_file = stmts.groupBy("src_path", "src_repo").count().collect()
+    assert all(r["count"] == 10 for r in per_file)

@@ -52,13 +52,17 @@ def _commit_of(repo: str, path: str) -> str:
     return hashlib.sha1(f"{repo}:{path}:rev0".encode()).hexdigest()
 
 
-_EXT = {"nt": "nt", "nq": "nq", "ttl": "ttl", "trig": "trig", "rdfxml": "rdf"}
+_EXT = {
+    "nt": "nt", "nq": "nq", "ttl": "ttl", "trig": "trig",
+    "rdfxml": "rdf", "jsonld": "jsonld",
+}
 _LANG = {
     "nt": "N-Triples",
     "nq": "N-Quads",
     "ttl": "Turtle",
     "trig": "TriG",
     "rdfxml": "RDF/XML",
+    "jsonld": "JSON-LD",
 }
 
 
@@ -142,6 +146,8 @@ def generate_corpus(spec: CorpusSpec) -> list[tuple[str, str, str, str, str]]:
                 content = _to_trig(lines, f"http://example.org/graph/{repo}")
             elif fmt == "rdfxml":
                 content = _nt_to_rdfxml(lines)
+            elif fmt == "jsonld":
+                content = _nt_to_jsonld(lines)
             else:
                 content = "\n".join(lines) + "\n"
             rows.append((repo, path, _commit_of(repo, path), _LANG[fmt], content))
@@ -182,6 +188,50 @@ def _nt_to_rdfxml(nt_lines: list[str]) -> str:
     )
     if bad:
         doc = "".join(bad) + doc  # malformed XML → error channel
+    return doc
+
+
+def _nt_to_jsonld(nt_lines: list[str]) -> str:
+    """Derive an equivalent JSON-LD document: one node object per good
+    line under a top-level @graph, value objects preserving the exact
+    lexical form, a @context exercising compact-IRI expansion in the
+    datatype position. Injected error lines make the doc invalid JSON
+    (→ the whole file lands on the error channel, matching JSON's
+    document-granularity failure model)."""
+    import json as _json
+    import re as _re
+
+    pat = _re.compile(
+        r'^<([^>]*)> <([^>]*)> (?:<([^>]*)>|"((?:[^"\\]|\\.)*)"'
+        r"(?:\^\^<([^>]*)>|@([A-Za-z\-]+))?) \.$"
+    )
+    nodes = []
+    bad = []
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    for ln in nt_lines:
+        m = pat.match(ln)
+        if not m:
+            bad.append(ln)
+            continue
+        s, p, o_iri, o_lit, o_dt, o_lang = m.groups()
+        node: dict = {"@id": s}
+        if p == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" and o_iri:
+            node["@type"] = [o_iri]
+        elif o_iri is not None:
+            node[p] = {"@id": o_iri}
+        elif o_dt:
+            dt = "xsd:" + o_dt[len(xsd):] if o_dt.startswith(xsd) else o_dt
+            node[p] = {"@value": o_lit, "@type": dt}
+        elif o_lang:
+            node[p] = {"@value": o_lit, "@language": o_lang}
+        else:
+            node[p] = o_lit
+        nodes.append(node)
+    doc = _json.dumps(
+        {"@context": {"xsd": xsd}, "@graph": nodes}, indent=1
+    )
+    if bad:
+        doc = "".join(bad) + doc  # leading junk → invalid JSON → error
     return doc
 
 

@@ -1,6 +1,6 @@
 """Format detection (SURVEY.md §2.A3).
 
-Classify each corpus file into {nt, nq, ttl, trig, rdfxml, skip} from the
+Classify each corpus file into {nt, nq, ttl, trig, rdfxml, jsonld, skip} from the
 ``lang`` column first, then the path extension — the columnar analog of
 RDF4J ``Rio.getParserFormatForFileName`` (reference behavior: "RDF
 serialization detected from the file name/extension"). Pure built-in
@@ -17,6 +17,7 @@ FORMAT_NQ = "nq"
 FORMAT_TTL = "ttl"
 FORMAT_TRIG = "trig"
 FORMAT_RDFXML = "rdfxml"
+FORMAT_JSONLD = "jsonld"
 FORMAT_SKIP = "skip"
 
 _LANG_MAP = {
@@ -31,6 +32,9 @@ _LANG_MAP = {
     "rdfxml": FORMAT_RDFXML,
     "rdf-xml": FORMAT_RDFXML,
     "xml": FORMAT_RDFXML,
+    "json-ld": FORMAT_JSONLD,
+    "jsonld": FORMAT_JSONLD,
+    "application/ld+json": FORMAT_JSONLD,
 }
 
 _EXT_MAP = {
@@ -44,6 +48,7 @@ _EXT_MAP = {
     "rdfs": FORMAT_RDFXML,
     "owl": FORMAT_RDFXML,
     "xml": FORMAT_RDFXML,
+    "jsonld": FORMAT_JSONLD,
 }
 
 

@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from tripleforge.detect import (
+    FORMAT_JSONLD,
     FORMAT_NQ,
     FORMAT_NT,
     FORMAT_RDFXML,
@@ -24,6 +25,7 @@ from tripleforge.detect import (
     FORMAT_TTL,
 )
 from tripleforge.parse.common import empty_raw_frame
+from tripleforge.parse.jsonld import parse_jsonld
 from tripleforge.parse.ntnq import parse_nq, parse_nt
 from tripleforge.parse.rdfxml import parse_rdfxml
 from tripleforge.parse.ttl import parse_trig, parse_ttl
@@ -35,6 +37,7 @@ _KERNELS = {
     FORMAT_TTL: parse_ttl,
     FORMAT_TRIG: parse_trig,
     FORMAT_RDFXML: parse_rdfxml,
+    FORMAT_JSONLD: parse_jsonld,
 }
 
 
@@ -83,7 +86,7 @@ def _parse_batches_arrow(batches, canonicalize: bool = False):
             if sub.num_rows:
                 parts.append(parse_batch_arrow(sub, quads, f))
         pandas_mask = pc.is_in(
-            fmt, value_set=pa.array([FORMAT_TTL, FORMAT_TRIG, FORMAT_RDFXML])
+            fmt, value_set=pa.array([FORMAT_TTL, FORMAT_TRIG, FORMAT_RDFXML, FORMAT_JSONLD])
         )
         sub = batch.filter(pandas_mask)
         if sub.num_rows:
@@ -93,6 +96,7 @@ def _parse_batches_arrow(batches, canonicalize: bool = False):
                 (FORMAT_TTL, parse_ttl),
                 (FORMAT_TRIG, parse_trig),
                 (FORMAT_RDFXML, parse_rdfxml),
+                (FORMAT_JSONLD, parse_jsonld),
             ):
                 grp = pdf[pdf["format"] == f]
                 if len(grp):
