@@ -253,3 +253,23 @@ def test_envelope_cap_default_and_opt_out(spark, monkeypatch):
     # explicit opt-out collects everything
     doc = results.sparql_results_json(df, limit=None)
     assert len(doc["results"]["bindings"]) == 50
+
+
+# ---------------------------------------------------------------------------
+# §19.8 QuadData: the final triple's '.' is optional (found driving the
+# CLI after the r4 module split; pre-existing since r2)
+# ---------------------------------------------------------------------------
+
+
+def test_insert_data_optional_final_dot():
+    from tripleforge.sparql import parse_update
+
+    for text, n in [
+        ("INSERT DATA { <urn:a> <urn:p> 1 }", 1),
+        ('INSERT DATA { <urn:a> <urn:p> "x" }', 1),
+        ("INSERT DATA { GRAPH <urn:g> { <urn:a> <urn:p> 1 } }", 1),
+        ("INSERT DATA { <urn:a> <urn:p> 1 . <urn:b> <urn:p> 2 }", 2),
+        ("INSERT DATA { <urn:a> <urn:p> 1 . }", 1),
+    ]:
+        op, _, rows = parse_update(text)
+        assert op == "insert" and len(rows) == n, text

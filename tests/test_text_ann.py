@@ -280,6 +280,23 @@ def test_multiprobe_lsh_recall_gate(spark):
     r_single = ann.recall_at_k(single, exact, k=5)
     assert r_multi >= 0.9, f"multi-probe recall@5 {r_multi} < 0.9"
     assert r_multi >= r_single  # fan-out can only add candidates
+    # multiprobe=2 (r4: hamming-2 probe set, 1+8+28=37 probes at
+    # n_bits=8): recall is monotone in the probe radius
+    multi2 = ann.cosine_topk_lsh(em, q, k=5, n_bits=8, dim=64, multiprobe=2)
+    r_multi2 = ann.recall_at_k(multi2, exact, k=5)
+    assert r_multi2 >= r_multi
+    # probe-array width sanity: 1 + C(8,1) + C(8,2)
+    import pyspark.sql.functions as _F
+
+    width = (
+        em.limit(1)
+        .select(_F.size(ann.lsh_probe_buckets(
+            _F.col("embedding"), ann.hyperplanes(64, 8, 42), 2)).alias("n"))
+        .first()["n"]
+    )
+    assert width == 37
+    with pytest.raises(ValueError, match="exceeds n_bits"):
+        ann.lsh_probe_buckets(_F.col("embedding"), ann.hyperplanes(64, 8, 42), 9)
 
 
 def test_ivf_recall_gate_and_determinism(spark):

@@ -147,21 +147,31 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
 def lsh_probe_buckets(
     vec_col: Column, planes: list[list[float]], multiprobe: int = 0
 ) -> Column:
-    """Array of probe buckets: the vector's own bucket plus, with
-    ``multiprobe=1``, every single-bit-flipped neighbor bucket — the
-    standard multi-probe LSH recall boost (query-side fan-out of
-    n_bits+1 probes; the corpus is hashed ONCE, so cost grows only on
-    the small broadcast side)."""
+    """Array of probe buckets: the vector's own bucket plus every
+    bucket within hamming distance ``multiprobe`` of it — the standard
+    multi-probe LSH recall boost (query-side fan-out of
+    Σ_{t≤multiprobe} C(n_bits, t) probes; the corpus is hashed ONCE,
+    so cost grows only on the small broadcast side). ``multiprobe=2``
+    completes the VERDICT r3 residue — with n_bits=8 that is 37 probes
+    per query, still tiny against a corpus scan."""
+    from itertools import combinations
+
     bits = _bucket_bits(vec_col, planes)
-    flip = {"1": F.lit("0"), "0": F.lit("1")}
+    if multiprobe > len(bits):
+        raise ValueError(
+            f"multiprobe {multiprobe} exceeds n_bits {len(bits)}"
+        )
+
+    def flipped_concat(to_flip: tuple[int, ...]) -> Column:
+        out = list(bits)
+        for j in to_flip:
+            out[j] = F.when(bits[j] == "1", F.lit("0")).otherwise(F.lit("1"))
+        return F.concat(*out)
+
     probes = [F.concat(*bits)]
-    if multiprobe >= 1:
-        for j in range(len(bits)):
-            flipped = list(bits)
-            flipped[j] = F.when(bits[j] == "1", flip["1"]).otherwise(flip["0"])
-            probes.append(F.concat(*flipped))
-    if multiprobe >= 2:
-        raise ValueError("only multiprobe ∈ {0, 1} is implemented")
+    for t in range(1, multiprobe + 1):
+        for combo in combinations(range(len(bits)), t):
+            probes.append(flipped_concat(combo))
     return F.array(*probes)
 
 

@@ -219,12 +219,16 @@ def build(
         .withColumn("committed_at", F.current_timestamp())
         .persist()
     )
-    # totals come from the (tiny, cached) lineage — no extra full pass
+    sid = catalog.commit_snapshot(data, lin, run_id=run_id)
+    # totals AFTER the commit: the lineage parquet write inside
+    # commit_snapshot is the action that materializes the lin cache, so
+    # this agg reads the cached rows. Taking totals BEFORE the commit
+    # (as r1-r3 did) forced the quad-key exchange + unit dedup to run
+    # in a separate job first — one full extra pass over the parse
+    # output per build (measured ~25% of full-build wall at sf0.1).
     totals = lin.agg(
         F.sum("n_triples").alias("t"), F.sum("n_errors").alias("e")
     ).first()
-
-    sid = catalog.commit_snapshot(data, lin, run_id=run_id)
     lin.unpersist()
     raw.unpersist()
     return BuildResult(sid, run_id, int(totals["t"] or 0), int(totals["e"] or 0))
