@@ -212,6 +212,18 @@ def build(
         stmts = link.rewrite(stmts, mapping)
 
     unit_deduped, data = shape_for_commit(stmts, catalog)
+    # Second staging materialization: `data` (the snapshot write) and
+    # the lineage aggregation BOTH need the post-exchange unit-deduped
+    # statements. Persisting it makes the lineage job a cache scan +
+    # small agg instead of a second quad-key exchange + unit dedup.
+    # A/B at 2M stmts/local[8] (r4): wall-NEUTRAL on this box — the
+    # cache write inside the data job costs about what the recompute
+    # did — but the cluster shape is strictly better: the second pass
+    # burned 2× executor CPU on parse-output-sized data, while a
+    # staging read is IO against an already-columnar cache.
+    # (CacheManager substitutes by plan equality, so the `data` plan
+    # derived above picks up this cache too.)
+    unit_deduped = unit_deduped.persist()
 
     lin = (
         lineage_mod.collect(unit_deduped, errors)
@@ -222,13 +234,12 @@ def build(
     sid = catalog.commit_snapshot(data, lin, run_id=run_id)
     # totals AFTER the commit: the lineage parquet write inside
     # commit_snapshot is the action that materializes the lin cache, so
-    # this agg reads the cached rows. Taking totals BEFORE the commit
-    # (as r1-r3 did) forced the quad-key exchange + unit dedup to run
-    # in a separate job first — one full extra pass over the parse
-    # output per build (measured ~25% of full-build wall at sf0.1).
+    # this agg reads the cached rows rather than forcing a pre-commit
+    # job of its own (r1-r3 ordering).
     totals = lin.agg(
         F.sum("n_triples").alias("t"), F.sum("n_errors").alias("e")
     ).first()
     lin.unpersist()
+    unit_deduped.unpersist()
     raw.unpersist()
     return BuildResult(sid, run_id, int(totals["t"] or 0), int(totals["e"] or 0))
