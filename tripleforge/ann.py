@@ -240,6 +240,68 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 5) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate PAIRS (the dedup-family member over
+# embeddings — exact/minhash/simhash/jaccard cover text; this covers
+# the vector representation)
+# ---------------------------------------------------------------------------
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_bits: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    multiprobe: int = 0,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Symmetric near-duplicate pairs (id_a < id_b, cosine ≥ threshold)
+    via sign-LSH blocking + exact verify — the embedding analog of
+    ``text.minhash_lsh_pairs``. The corpus is hashed ONCE (right side);
+    only the probe fan-out side multiplies (``multiprobe`` = hamming
+    radius of extra probe buckets, same knob as the ANN variant), so at
+    corpus scale this is a capped bucket equi-join, never all-pairs.
+    Like every LSH method it is approximate: a pair whose sign vectors
+    differ in more than ``multiprobe`` of the n_bits hyperplanes is not
+    a candidate. Deterministic (seeded hyperplanes) and reproducible in
+    plain SQL — the DuckDB oracle inlines the same plane constants."""
+    from tripleforge.link import block_and_cap
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_bits, seed)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    right = base.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        lsh_bucket(F.col("vec"), planes).alias("bucket"),
+    )
+    right = block_and_cap(right, ["bucket"], max_bucket)
+    left = base.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.explode(
+            lsh_probe_buckets(F.col("vec"), planes, multiprobe)
+        ).alias("bucket"),
+    )
+    cand = (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+    )
+    if multiprobe:
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+    # threshold on the RAW cosine, round only for output — rounding
+    # first would admit borderline pairs the oracle (same order) drops
+    sim = cosine(F.col("vec_a"), F.col("vec_b"))
+    return (
+        cand.withColumn("cos_raw", sim)
+        .where(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF variant (coarse k-means quantizer, deterministic)
 # ---------------------------------------------------------------------------
 def ivf_centroids(
