@@ -71,7 +71,8 @@ def main() -> int:
     ap.add_argument(
         "--format",
         default=None,
-        choices=["csv", "tsv", "json", "jsonl", "xml", "nt", "nq", "ttl", "trig"],
+        choices=["csv", "tsv", "json", "jsonl", "xml", "nt", "nq", "ttl",
+                 "trig", "jsonld-rdf"],
         help="result format for --out: W3C SPARQL Results CSV/TSV/JSON/XML, "
         "distributed JSONL bindings, or N-Triples/N-Quads/Turtle/TriG for "
         "statement-shaped (CONSTRUCT) results. Default: nt for "

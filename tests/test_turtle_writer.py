@@ -136,3 +136,66 @@ def test_no_python_in_plan(df):
     out = turtle_blocks(df, PREFIXES, quads=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD writer (r4): round-trip against the engine's own JSON-LD
+# parser — same contract as the Turtle/TriG round-trip above
+# ---------------------------------------------------------------------------
+
+
+def test_jsonld_writer_roundtrip(spark, tmp_path):
+    from tripleforge.jsonld_out import write_jsonld
+    from tripleforge.parse.jsonld import parse_one
+
+    rows = [
+        ("http://ex.org/s1", "http://ex.org/p", "http://ex.org/o", "iri", None, None, None),
+        ("http://ex.org/s1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://ex.org/T", "iri", None, None, None),
+        ("http://ex.org/s1", "http://ex.org/n", "0042", "literal", "http://www.w3.org/2001/XMLSchema#integer", None, None),
+        ("http://ex.org/s1", "http://ex.org/l", 'he said "hi"\n\tok\\', "literal", "http://www.w3.org/2001/XMLSchema#string", None, None),
+        ("http://ex.org/s2", "http://ex.org/l", "bonjour", "literal", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "fr", None),
+        ("http://ex.org/s3", "http://ex.org/p", "in-graph", "literal", "http://www.w3.org/2001/XMLSchema#string", None, "http://ex.org/g1"),
+    ]
+    schema = (
+        "subj string, pred string, obj string, obj_kind string, "
+        "obj_dt string, obj_lang string, graph string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "out.jsonld")
+    write_jsonld(df, out, quads=True)
+    triples = parse_one("r", "p", open(out).read())
+    got = {t for t in triples}
+    want = {
+        (s, p, o, k, dt, lang, g)
+        for (s, p, o, k, dt, lang, g) in rows
+    }
+    assert got == want
+    # the single-file output is ONE valid JSON document
+    import json
+
+    doc = json.loads(open(out).read())
+    assert isinstance(doc, list) and len(doc) == 3  # s1, s2, g1-wrapper
+
+
+def test_jsonld_writer_deterministic_and_distributed(spark, tmp_path):
+    from tripleforge.jsonld_out import jsonld_lines
+
+    rows = [
+        ("http://ex.org/s", "http://ex.org/p", f"v{i}", "literal",
+         "http://www.w3.org/2001/XMLSchema#string", None, None)
+        for i in range(5)
+    ]
+    schema = (
+        "subj string, pred string, obj string, obj_kind string, "
+        "obj_dt string, obj_lang string, graph string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    a = [r.line for r in jsonld_lines(df).collect()]
+    b = [r.line for r in jsonld_lines(df.repartition(7)).collect()]
+    assert a == b == sorted(a)  # partitioning-invariant
+    # every distributed line is a standalone valid JSON-LD document
+    import json
+
+    node = json.loads(a[0])
+    assert node["@id"] == "http://ex.org/s"
+    assert [v for v in node["http://ex.org/p"]] == ["v0", "v1", "v2", "v3", "v4"]

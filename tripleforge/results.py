@@ -236,7 +236,8 @@ def write_results(
 ) -> None:
     """Dispatch on format: csv | tsv | json (W3C envelope) | jsonl
     (distributed bindings) | xml (W3C XML envelope) | nt/nq
-    (statement-shaped CONSTRUCT output, via io.write_ntriples)."""
+    (statement-shaped CONSTRUCT output, via io.write_ntriples) |
+    jsonld-rdf (statement-shaped JSON-LD expanded-form document)."""
     if fmt == "csv":
         write_csv(df, path)
     elif fmt == "tsv":
@@ -257,5 +258,9 @@ def write_results(
         from tripleforge.turtle import write_turtle
 
         write_turtle(df, path, quads=(fmt == "trig"))
+    elif fmt == "jsonld-rdf":
+        from tripleforge.jsonld_out import write_jsonld
+
+        write_jsonld(df, path, quads=True)
     else:
         raise ValueError(f"unknown result format {fmt!r}")
