@@ -273,3 +273,88 @@ def test_insert_data_optional_final_dot():
     ]:
         op, _, rows = parse_update(text)
         assert op == "insert" and len(rows) == n, text
+
+
+# ---------------------------------------------------------------------------
+# §18.2.5: ORDER BY precedes projection — sort keys may use variables
+# the projection drops
+# ---------------------------------------------------------------------------
+
+
+def test_order_by_unprojected_variable(spark):
+    rows = [
+        ("urn:s1", "urn:p", "3", "literal", None, None, None),
+        ("urn:s2", "urn:p", "1", "literal", None, None, None),
+        ("urn:s3", "urn:p", "2", "literal", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sparql.select(
+        df, "SELECT ?s WHERE { ?s <urn:p> ?o } ORDER BY ?o"
+    )
+    assert out.columns == ["s"]
+    assert [r.s for r in out.collect()] == ["urn:s2", "urn:s3", "urn:s1"]
+
+
+def test_order_by_expression_on_unprojected_variable(spark):
+    rows = [
+        ("urn:s1", "urn:p", "3", "literal", None, None, None),
+        ("urn:s2", "urn:p", "1", "literal", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sparql.select(
+        df, "SELECT ?s WHERE { ?s <urn:p> ?o } ORDER BY DESC(?o * 2)"
+    )
+    assert out.columns == ["s"]
+    assert [r.s for r in out.collect()] == ["urn:s1", "urn:s2"]
+
+
+def test_order_by_unbound_variable_still_rejected(spark):
+    df = spark.createDataFrame(
+        [("urn:s", "urn:p", "1", "literal", None, None, None)], SCHEMA
+    )
+    with pytest.raises(sparql.SparqlError, match="ORDER BY variables not bound"):
+        sparql.select(df, "SELECT ?s WHERE { ?s <urn:p> ?o } ORDER BY ?zzz")
+
+
+# ---------------------------------------------------------------------------
+# §4.1.1 BASE: relative IRIREF resolution (was rejected pre-r4)
+# ---------------------------------------------------------------------------
+
+
+def test_base_resolves_relative_iris(spark):
+    df = spark.createDataFrame(
+        [("http://ex.org/a", "http://ex.org/p", "http://ex.org/b", "iri", None, None, None)],
+        SCHEMA,
+    )
+    out = sparql.select(df, "BASE <http://ex.org/> SELECT ?s WHERE { ?s <p> <b> }")
+    assert [r.s for r in out.collect()] == ["http://ex.org/a"]
+
+
+def test_base_chains_and_scopes_prefix(spark):
+    df = spark.createDataFrame(
+        [("http://ex.org/root/a", "http://ex.org/root/p", "1", "literal", None, None, None)],
+        SCHEMA,
+    )
+    # second BASE resolves against the first; '..' steps out of sub/;
+    # the PREFIX expansion itself resolves against the active BASE
+    out = sparql.select(
+        df,
+        "BASE <http://ex.org/root/> BASE <sub/> PREFIX e: <../> "
+        "SELECT ?s WHERE { ?s <../p> ?o . e:a <../p> ?o }",
+    )
+    assert [r.s for r in out.collect()] == ["http://ex.org/root/a"]
+
+
+def test_base_in_insert_data(spark, tmp_path):
+    from tripleforge.catalog import ParquetSnapshotCatalog
+
+    cat = ParquetSnapshotCatalog(spark, str(tmp_path / "cat"))
+    sparql.execute_update(
+        spark, cat,
+        "BASE <http://ex.org/> INSERT DATA { <s> <p> <o> }",
+        run_id="base1",
+    )
+    rows = cat.read_statements().collect()
+    assert {(r.subj, r.pred, r.obj) for r in rows} == {
+        ("http://ex.org/s", "http://ex.org/p", "http://ex.org/o")
+    }

@@ -326,6 +326,22 @@ def select(
     )
 
 
+def _expr_vars(tree) -> set[str]:
+    """All ?var names referenced by an expression AST."""
+    out: set[str] = set()
+    if isinstance(tree, tuple):
+        if tree[0] == "var":
+            out.add(tree[1])
+        else:
+            for a in tree[1:]:
+                if isinstance(a, tuple):
+                    out |= _expr_vars(a)
+                elif isinstance(a, list):
+                    for x in a:
+                        out |= _expr_vars(x)
+    return out
+
+
 def _compile_select(
     statements: DataFrame,
     parsed: tuple,
@@ -427,7 +443,19 @@ def _compile_select(
                 raise SparqlError(f"projection alias ?{alias} is already bound")
             col, _ = _compile_expr(tree, set(out.columns))
             out = out.withColumn(alias, col)
-        out = out.select(*[it[1] for it in projected])
+        # ORDER BY precedes projection in the SPARQL algebra (§18.2.5),
+        # so sort keys may reference variables the projection drops —
+        # carry them through the select and drop after sorting
+        proj_names = [it[1] for it in projected]
+        carry = []
+        for key, _asc in mods["order_by"]:
+            vars_ = [key] if isinstance(key, str) else sorted(_expr_vars(key[1]))
+            carry.extend(
+                v for v in vars_
+                if v in out.columns and v not in proj_names and v not in carry
+            )
+        drop_after_order.extend(carry)
+        out = out.select(*proj_names, *carry)
     else:
         # SELECT *: project every binding, never the carry_meta
         # companion columns nor non-distinguished blank-node variables
@@ -452,7 +480,7 @@ def _compile_select(
             if isinstance(v, str) and v not in cols
         ]
         if bad:
-            raise SparqlError(f"ORDER BY variables not in projection: {bad}")
+            raise SparqlError(f"ORDER BY variables not bound: {bad}")
         keys = []
         for v, asc_ in mods["order_by"]:
             col = (
@@ -637,7 +665,7 @@ def _template_term(c: _Cursor, position: str) -> tuple:
     if kind == "VAR":
         return ("var", val[1:])
     if kind == "IRI":
-        return ("iri", val[1:-1])
+        return ("iri", c.iri(val[1:-1]))
     if kind == "PNAME":
         ns, _, local = val.partition(":")
         if ns not in c.prefixes:
@@ -657,7 +685,7 @@ def _template_term(c: _Cursor, position: str) -> tuple:
             c.next()
             k, v = c.next()
             if k == "IRI":
-                dt = v[1:-1]
+                dt = c.iri(v[1:-1])
             elif k == "PNAME":
                 ns, _, local = v.partition(":")
                 if ns not in c.prefixes:
@@ -711,6 +739,7 @@ def parse_construct(
             raise SparqlError("CONSTRUCT supports only the LIMIT modifier")
         tc = _Cursor(c.toks[inner_start : end - 1])
         tc.prefixes = dict(c.prefixes)
+        tc.base = c.base
         template = []
         while tc.peek() is not None:
             if tc.peek() == ("PUNCT", "."):
@@ -724,6 +753,7 @@ def parse_construct(
             raise SparqlError("empty CONSTRUCT WHERE pattern")
         gc = _Cursor(c.toks[where_start:end])
         gc.prefixes = dict(c.prefixes)
+        gc.base = c.base
         groups = _parse_group_pattern(gc)
         patterns, gops, gopts = groups[0]
         if len(groups) > 1 or gops or gopts or any(

@@ -200,7 +200,7 @@ def _parse_primary(c: _Cursor) -> tuple:
         # IRI constants canonicalize exactly like triple-pattern
         # constants (ADVICE r2: FILTER(?v = <HTTP://EX.ORG/>) must
         # match the store's canonical spelling)
-        iri = normalize_iri_str(val[1:-1])
+        iri = normalize_iri_str(c.iri(val[1:-1]))
         if iri in _CAST_TYPES and c.peek() == ("PUNCT", "("):
             return _parse_cast(c, iri)
         return ("iri", iri)

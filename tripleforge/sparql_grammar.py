@@ -360,6 +360,7 @@ def _parse_group_pattern(
                             depth -= 1
                     inner = _Cursor(c.toks[start : c.i - 1])
                     inner.prefixes = dict(c.prefixes)
+                    inner.base = c.base
                     ops.append(("subquery", _parse_select_cursor(inner)))
                     continue
                 if t[0] == "GRAPHKW" or _kw(t, "GRAPH"):

@@ -67,11 +67,24 @@ def _kw(tok: tuple[str, str] | None, word: str) -> bool:
     )
 
 
+_HAS_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
 class _Cursor:
     def __init__(self, toks: list[tuple[str, str]]):
         self.toks = toks
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
+
+    def iri(self, raw: str) -> str:
+        """Resolve a (possibly relative) IRIREF against the prologue's
+        BASE (SPARQL §4.1.1 / RFC 3986); absolute IRIs pass through."""
+        if self.base and not _HAS_SCHEME.match(raw):
+            from urllib.parse import urljoin
+
+            return urljoin(self.base, raw)
+        return raw
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -95,10 +108,16 @@ class _Cursor:
                 k, iritok = self.next()
                 if k != "IRI":
                     raise SparqlError("PREFIX needs an IRIREF")
-                self.prefixes[pname[:-1]] = iritok[1:-1]
+                self.prefixes[pname[:-1]] = self.iri(iritok[1:-1])
                 continue
             if _kw(t, "BASE"):
-                raise SparqlError("BASE is not supported — use absolute IRIs")
+                self.next()
+                k, iritok = self.next()
+                if k != "IRI":
+                    raise SparqlError("BASE needs an IRIREF")
+                # a BASE may itself be relative to an earlier BASE
+                self.base = self.iri(iritok[1:-1])
+                continue
             return
 
     # --- pattern terms ------------------------------------------------------
@@ -112,7 +131,7 @@ class _Cursor:
         if kind == "VAR":
             return "?" + val[1:]
         if kind == "IRI":
-            return normalize_iri_str(val[1:-1])
+            return normalize_iri_str(self.iri(val[1:-1]))
         if kind == "PNAME":
             ns, _, local = val.partition(":")
             if ns not in self.prefixes:

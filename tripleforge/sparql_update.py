@@ -45,7 +45,7 @@ def parse_update(text: str) -> tuple[str, str | None, list[tuple]]:
         k, v = c.next()
         if k != "IRI":
             raise SparqlError("WITH needs an IRIREF")
-        with_graph = v[1:-1]
+        with_graph = c.iri(v[1:-1])
     t = c.next()
     if _kw(t, "INSERT"):
         op = "insert"
@@ -78,6 +78,8 @@ def parse_update(text: str) -> tuple[str, str | None, list[tuple]]:
     key = hashlib.sha256(text.encode("utf-8")).hexdigest()[:16]
     p = _Parser(inner, "urn:sparql-update", key, trig=True)
     p.prefixes.update(c.prefixes)
+    if c.base:
+        p.base = c.base  # prologue BASE scopes the quad data too (§19.8)
     try:
         p.parse()
     except TurtleError as exc:
@@ -99,7 +101,7 @@ def _graph_term(c: _Cursor) -> tuple:
     if k == "VAR":
         return ("var", v[1:])
     if k == "IRI":
-        return ("iri", v[1:-1])
+        return ("iri", c.iri(v[1:-1]))
     if k == "PNAME":
         ns, _, local = v.partition(":")
         if ns not in c.prefixes:
@@ -282,7 +284,7 @@ def execute_update(
         k, v = c.next()
         if k != "IRI":
             raise SparqlError("WITH needs an IRIREF")
-        with_graph = v[1:-1]
+        with_graph = c.iri(v[1:-1])
     t = c.peek()
     if _kw(t, "CLEAR") or _kw(t, "DROP"):
         c.next()
@@ -303,7 +305,7 @@ def execute_update(
             k, v = c.next()
             if k != "IRI":
                 raise SparqlError("CLEAR/DROP GRAPH needs an IRIREF")
-            which, g = "graph", v[1:-1]
+            which, g = "graph", c.iri(v[1:-1])
         else:
             raise SparqlError("expected GRAPH <iri> | DEFAULT | NAMED | ALL")
         if c.peek() is not None:
@@ -339,7 +341,7 @@ def execute_update(
             k, v = c.next()
             if k != "IRI":
                 raise SparqlError(f"{op.upper()} needs GRAPH <iri> or DEFAULT")
-            return v[1:-1]
+            return c.iri(v[1:-1])
 
         src = graph_or_default()
         if not _kw(c.next(), "TO"):
@@ -355,7 +357,7 @@ def execute_update(
         k, v = c.next()
         if k != "IRI":
             raise SparqlError("LOAD needs a source IRIREF")
-        source = v[1:-1]
+        source = c.iri(v[1:-1])
         graph = with_graph
         if _kw(c.peek(), "INTO"):
             c.next()
@@ -365,7 +367,7 @@ def execute_update(
             k, v = c.next()
             if k != "IRI":
                 raise SparqlError("INTO GRAPH needs an IRIREF")
-            graph = v[1:-1]
+            graph = c.iri(v[1:-1])
         if c.peek() is not None:
             raise SparqlError(f"trailing tokens after LOAD: {c.peek()!r}")
         return _exec_load(spark, catalog, source, graph, run_id)
