@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tripleforge.text import _widen
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -130,6 +132,28 @@ def hyperplanes(dim: int, n_bits: int = 8, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _dot_sql(vec_sql: str, weights: list[float]) -> str:
+    """SQL text of :func:`dot` against a literal vector — semantically
+    identical fold (same casts, same left-assoc accumulation), but the
+    WHOLE expression reaches the JVM in one py4j call. Per-element
+    ``F.lit``/lambda construction made DataFrame BUILD time (driver
+    py4j round-trips, not execution) the dominant LSH cost: 2.5 s build
+    vs 0.45 s execute at sf0.1 (r4 cProfile — 7,638 socket round-trips
+    per query build)."""
+    arr = "array(" + ",".join(repr(float(w)) + "D" for w in weights) + ")"
+    return (
+        f"aggregate(zip_with(transform({vec_sql}, x -> double(x)), {arr}, "
+        "(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+
+
+def _bucket_bits_sql(vec_sql: str, planes: list[list[float]]) -> list[str]:
+    return [
+        f"(CASE WHEN {_dot_sql(vec_sql, p)} >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    ]
+
+
 def _bucket_bits(vec_col: Column, planes: list[list[float]]) -> list[Column]:
     return [
         F.when(
@@ -139,8 +163,13 @@ def _bucket_bits(vec_col: Column, planes: list[list[float]]) -> list[Column]:
     ]
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit string of the projections onto each hyperplane."""
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit string of the projections onto each hyperplane. Pass a
+    COLUMN NAME string to build the whole hash as one ``F.expr`` (one
+    py4j call — the fast path the engine's own operators use); a Column
+    keeps the legacy object construction."""
+    if isinstance(vec_col, str):
+        return F.expr("concat(" + ", ".join(_bucket_bits_sql(vec_col, planes)) + ")")
     return F.concat(*_bucket_bits(vec_col, planes))
 
 
@@ -155,6 +184,26 @@ def lsh_probe_buckets(
     completes the VERDICT r3 residue — with n_bits=8 that is 37 probes
     per query, still tiny against a corpus scan."""
     from itertools import combinations
+
+    if isinstance(vec_col, str):
+        bits_sql = _bucket_bits_sql(vec_col, planes)
+        if multiprobe > len(bits_sql):
+            raise ValueError(
+                f"multiprobe {multiprobe} exceeds n_bits {len(bits_sql)}"
+            )
+
+        def concat_flipped(to_flip: tuple[int, ...]) -> str:
+            parts = [
+                f"(CASE WHEN {b} = '1' THEN '0' ELSE '1' END)" if j in to_flip else b
+                for j, b in enumerate(bits_sql)
+            ]
+            return "concat(" + ", ".join(parts) + ")"
+
+        probe_sqls = [concat_flipped(())]
+        for t in range(1, multiprobe + 1):
+            for combo in combinations(range(len(bits_sql)), t):
+                probe_sqls.append(concat_flipped(combo))
+        return F.expr("array(" + ", ".join(probe_sqls) + ")")
 
     bits = _bucket_bits(vec_col, planes)
     if multiprobe > len(bits):
@@ -202,16 +251,15 @@ def cosine_topk_lsh(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_bits, seed)
-    c = corpus.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    c = _widen(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")),
+        key="nid",
+    ).select("nid", "nvec", lsh_bucket("nvec", planes).alias("bucket"))
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
         F.explode(
-            lsh_probe_buckets(F.col(vec_col), planes, multiprobe)
+            lsh_probe_buckets(vec_col, planes, multiprobe)
         ).alias("bucket"),
     )
     joined = c.join(F.broadcast(q), "bucket").where(F.col("nid") != F.col("qid"))
@@ -270,18 +318,21 @@ def cosine_near_dup_pairs(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_bits, seed)
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    base = _widen(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        key="id",
+    )
     right = base.select(
         F.col("id").alias("id_b"),
         F.col("vec").alias("vec_b"),
-        lsh_bucket(F.col("vec"), planes).alias("bucket"),
+        lsh_bucket("vec", planes).alias("bucket"),
     )
     right = block_and_cap(right, ["bucket"], max_bucket)
     left = base.select(
         F.col("id").alias("id_a"),
         F.col("vec").alias("vec_a"),
         F.explode(
-            lsh_probe_buckets(F.col("vec"), planes, multiprobe)
+            lsh_probe_buckets("vec", planes, multiprobe)
         ).alias("bucket"),
     )
     cand = (
@@ -340,12 +391,7 @@ def _centroid_dots(vec_col: Column, centroids: list[list[float]]) -> Column:
     centroid (centroids are unit vectors, so the dot over the
     unnormalized corpus vector ranks cells identically to cosine)."""
     n = l2_norm(vec_col)
-    return F.array(
-        *[
-            dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) / n
-            for c in centroids
-        ]
-    )
+    return F.array(*[dot(vec_col, F.lit([float(x) for x in c])) / n for c in centroids])
 
 
 def ivf_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
@@ -394,11 +440,10 @@ def cosine_topk_ivf(
             corpus, n_centroids=n_centroids, seed=seed,
             id_col=id_col, vec_col=vec_col,
         )
-    c = corpus.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nvec"),
-        ivf_cell(F.col(vec_col), centroids).alias("cell"),
-    )
+    c = _widen(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")),
+        key="nid",
+    ).select("nid", "nvec", ivf_cell(F.col("nvec"), centroids).alias("cell"))
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
