@@ -358,3 +358,47 @@ def test_base_in_insert_data(spark, tmp_path):
     assert {(r.subj, r.pred, r.obj) for r in rows} == {
         ("http://ex.org/s", "http://ex.org/p", "http://ex.org/o")
     }
+
+
+# ---------------------------------------------------------------------------
+# STRLANG/STRDT metadata flow (r4): constructed-literal tags are
+# visible to downstream LANG()/DATATYPE()/isLiteral()
+# ---------------------------------------------------------------------------
+
+
+def test_strlang_metadata_flows(spark):
+    df = spark.createDataFrame(
+        [("urn:s", "urn:p", "1", "literal", None, None, None)], SCHEMA
+    )
+    out = sparql.select(
+        df,
+        'SELECT ?l ?d ?isl WHERE { ?s ?p ?o BIND(STRLANG("chat", "FR") AS ?x) '
+        "BIND(LANG(?x) AS ?l) BIND(DATATYPE(?x) AS ?d) BIND(isLiteral(?x) AS ?isl) }",
+    ).collect()
+    assert out[0].l == "fr"
+    assert out[0].d == "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    assert out[0].isl is True
+
+
+def test_strdt_metadata_flows(spark):
+    df = spark.createDataFrame(
+        [("urn:s", "urn:p", "1", "literal", None, None, None)], SCHEMA
+    )
+    out = sparql.select(
+        df,
+        "SELECT ?d ?l WHERE { ?s ?p ?o "
+        'BIND(STRDT("42", <http://www.w3.org/2001/XMLSchema#integer>) AS ?x) '
+        "BIND(DATATYPE(?x) AS ?d) BIND(LANG(?x) AS ?l) }",
+    ).collect()
+    assert out[0].d == "http://www.w3.org/2001/XMLSchema#integer"
+    assert out[0].l == ""  # typed literal has no language tag
+
+
+def test_strlang_companions_hidden_from_select_star(spark):
+    df = spark.createDataFrame(
+        [("urn:s", "urn:p", "1", "literal", None, None, None)], SCHEMA
+    )
+    out = sparql.select(
+        df, 'SELECT * WHERE { ?s ?p ?o BIND(STRLANG("a", "en") AS ?x) }'
+    )
+    assert set(out.columns) == {"s", "p", "o", "x"}

@@ -386,22 +386,40 @@ def ivf_centroids(
     return C.tolist()
 
 
-def _centroid_dots(vec_col: Column, centroids: list[list[float]]) -> Column:
+def _centroid_dots(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     """array<double> of cosine-proportional scores against every
     centroid (centroids are unit vectors, so the dot over the
-    unnormalized corpus vector ranks cells identically to cosine)."""
+    unnormalized corpus vector ranks cells identically to cosine).
+    A column-NAME argument builds the whole array (n_centroids × dim
+    literal terms) as ONE F.expr — same driver build-cost fix as the
+    LSH hashes (per-element construction was ~4096 py4j-backed lit
+    calls per query)."""
+    if isinstance(vec_col, str):
+        norm_sql = (
+            f"sqrt(aggregate(transform({vec_col}, x -> double(x)), 0D, "
+            "(acc, x) -> acc + x * x))"
+        )
+        dots = ", ".join(
+            f"({_dot_sql(vec_col, c)}) / {norm_sql}" for c in centroids
+        )
+        return F.expr(f"array({dots})")
     n = l2_norm(vec_col)
-    return F.array(*[dot(vec_col, F.lit([float(x) for x in c])) / n for c in centroids])
+    return F.array(
+        *[
+            dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) / n
+            for c in centroids
+        ]
+    )
 
 
-def ivf_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+def ivf_cell(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     """1-based id of the nearest centroid (argmax cosine)."""
     d = _centroid_dots(vec_col, centroids)
     return F.array_position(d, F.array_max(d)).cast("int")
 
 
 def ivf_probe_cells(
-    vec_col: Column, centroids: list[list[float]], nprobe: int
+    vec_col: Column | str, centroids: list[list[float]], nprobe: int
 ) -> Column:
     """The ``nprobe`` nearest cells of a query vector — sort the
     (score, cell) pairs and slice, all JVM-side."""
@@ -443,12 +461,12 @@ def cosine_topk_ivf(
     c = _widen(
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")),
         key="nid",
-    ).select("nid", "nvec", ivf_cell(F.col("nvec"), centroids).alias("cell"))
+    ).select("nid", "nvec", ivf_cell("nvec", centroids).alias("cell"))
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
         F.explode(
-            ivf_probe_cells(F.col(vec_col), centroids, nprobe)
+            ivf_probe_cells(vec_col, centroids, nprobe)
         ).alias("cell"),
     )
     joined = c.join(F.broadcast(q), "cell").where(F.col("nid") != F.col("qid"))

@@ -115,6 +115,36 @@ from tripleforge.sparql_grammar import (  # noqa: F401 — re-export
     _parse_modifiers,
 )
 
+def _bind_column(df: DataFrame, var: str, tree: tuple) -> DataFrame:
+    """BIND(expr AS ?var) with constructed-literal metadata flow (r4):
+    a top-level STRLANG/STRDT also materializes the variable's
+    carry_meta companion columns, so downstream LANG() / DATATYPE() /
+    isLiteral() see the constructed tag instead of the pre-r4 behavior
+    (serialization-only). Nested occurrences (e.g. inside CONCAT) still
+    lose their tag — solution columns are lexical by design."""
+    from pyspark.sql import functions as F
+
+    if var in df.columns:
+        raise SparqlError(f"BIND target ?{var} is already bound")
+    col, _ = _compile_expr(tree, set(df.columns))
+    df = df.withColumn(var, col)
+    if isinstance(tree, tuple) and tree[0] == "fn" and tree[1] in (
+        "STRLANG", "STRDT",
+    ):
+        from tripleforge.schema import RDF_LANGSTRING
+
+        tagc, tagt = _compile_expr(tree[2][1], set(df.columns))
+        tag = _as_str(tagc, tagt)
+        if tree[1] == "STRLANG":
+            df = df.withColumn(f"{var}__lang", F.lower(tag))
+            df = df.withColumn(f"{var}__dt", F.lit(RDF_LANGSTRING))
+        else:
+            df = df.withColumn(f"{var}__dt", tag)
+            df = df.withColumn(f"{var}__lang", F.lit(None).cast("string"))
+        df = df.withColumn(f"{var}__kind", F.lit("literal"))
+    return df
+
+
 def _apply_ops(
     sol: DataFrame,
     ops: list[tuple],
@@ -131,10 +161,7 @@ def _apply_ops(
     for op in ops:
         if op[0] == "bind":
             _, var, tree = op
-            if var in sol.columns:
-                raise SparqlError(f"BIND target ?{var} is already bound")
-            col, _ = _compile_expr(tree, set(sol.columns))
-            sol = sol.withColumn(var, col)
+            sol = _bind_column(sol, var, tree)
         elif op[0] == "subquery":
             if statements is None:
                 raise SparqlError("subqueries are not available here")
@@ -247,10 +274,7 @@ def _optional_ops_transform(bops: list[tuple]):
                 out = out.where(_compile_filter(op, set(out.columns)))
             elif op[0] == "bind":
                 _, alias, tree = op
-                if alias in out.columns:
-                    raise SparqlError(f"BIND alias ?{alias} is already bound")
-                col, _ = _compile_expr(tree, set(out.columns))
-                out = out.withColumn(alias, col)
+                out = _bind_column(out, alias, tree)
             else:  # pragma: no cover - parser only emits expr/bind here
                 raise SparqlError(f"unsupported op inside OPTIONAL: {op[0]}")
         return out

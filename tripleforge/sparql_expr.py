@@ -693,9 +693,10 @@ def _compile_fn(name: str, args: list[tuple], bound: set[str]):
         c, t = _compile_expr(args[0], bound)
         return _as_str(c, t), "str"
     if name in ("STRLANG", "STRDT"):
-        # constructed-literal value; this engine's solution columns are
-        # lexical, so the constructed tag/datatype participates in
-        # output serialization only, not in downstream LANG()/DATATYPE()
+        # constructed-literal value (lexical column); when this call is
+        # the TOP level of a BIND, sparql._bind_column additionally
+        # materializes the variable's companion metadata so downstream
+        # LANG()/DATATYPE()/isLiteral() see the constructed tag (r4)
         _fn_arity(name, args, 2)
         c, t = _compile_expr(args[0], bound)
         return _as_str(c, t), "str"
