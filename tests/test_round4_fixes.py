@@ -402,3 +402,71 @@ def test_strlang_companions_hidden_from_select_star(spark):
         df, 'SELECT * WHERE { ?s ?p ?o BIND(STRLANG("a", "en") AS ?x) }'
     )
     assert set(out.columns) == {"s", "p", "o", "x"}
+
+
+# ---------------------------------------------------------------------------
+# LOAD <file.jsonld> — format detection + the new parser through the
+# reference loader's core operation
+# ---------------------------------------------------------------------------
+
+
+def test_load_jsonld_file(spark, tmp_path):
+    from tripleforge.catalog import ParquetSnapshotCatalog
+
+    doc = tmp_path / "data.jsonld"
+    doc.write_text(
+        '{"@context": {"ex": "http://ex.org/"}, "@id": "ex:s", '
+        '"@type": "ex:T", "ex:p": {"@value": "7", '
+        '"@type": "http://www.w3.org/2001/XMLSchema#integer"}}'
+    )
+    cat = ParquetSnapshotCatalog(spark, str(tmp_path / "cat"))
+    sparql.execute_update(
+        spark, cat, f"LOAD <file://{doc}> INTO GRAPH <urn:g>", run_id="ld1"
+    )
+    rows = {(r.subj, r.pred, r.obj, r.graph) for r in cat.read_statements().collect()}
+    assert rows == {
+        ("http://ex.org/s", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://ex.org/T", "urn:g"),
+        ("http://ex.org/s", "http://ex.org/p", "7", "urn:g"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD writer<->parser seeded property round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_jsonld_roundtrip_property(spark, tmp_path):
+    import random
+
+    from tripleforge.jsonld_out import write_jsonld
+    from tripleforge.parse.jsonld import parse_one
+
+    rng = random.Random(99)
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    LANGSTR = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    rows = []
+    for i in range(150):
+        s = f"http://ex.org/s{rng.randrange(20)}"
+        p = f"http://ex.org/p{rng.randrange(8)}"
+        g = rng.choice([None, "http://ex.org/g1", "http://ex.org/g2"])
+        kind = rng.randrange(4)
+        if kind == 0:
+            rows.append((s, p, f"http://ex.org/o{rng.randrange(30)}", "iri", None, None, g))
+        elif kind == 1:
+            lex = "".join(rng.choice('ab"\\\n\t{}[]:,é✓ ') for _ in range(rng.randrange(1, 10)))
+            rows.append((s, p, lex, "literal", XSD + "string", None, g))
+        elif kind == 2:
+            rows.append((s, p, str(rng.randrange(10**6)), "literal", XSD + "integer", None, g))
+        else:
+            rows.append((s, p, "tag", "literal", LANGSTR, rng.choice(["en", "fr"]), g))
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_kind string, "
+        "obj_dt string, obj_lang string, graph string",
+    ).dropDuplicates()
+    want = {tuple(r) for r in df.collect()}
+    out = str(tmp_path / "prop.jsonld")
+    write_jsonld(df, out, quads=True)
+    got = set(parse_one("r", "p", open(out).read()))
+    assert got == want

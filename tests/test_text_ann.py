@@ -350,3 +350,31 @@ def test_cosine_near_dup_pairs(spark):
     assert (0, 100) in got and (0, 101) in got
     assert all(r.cos >= 0.95 for r in out.collect())
     assert all(r.id_a < r.id_b for r in out.collect())
+
+
+def test_curate_cli(tmp_path):
+    """jobs/curate.py end-to-end: all ops over the sf0.001 tables,
+    one JSON line per op, parquet outputs readable."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "cur")
+    r = subprocess.run(
+        [_sys.executable, "jobs/curate.py",
+         "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+         "--out", out, "--ops", "exact,jaccard,cosine,annotate",
+         "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    lines = [_json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    by_op = {l["op"]: l for l in lines}
+    assert set(by_op) == {"exact", "jaccard", "cosine", "annotate"}
+    assert all("error" not in l for l in lines), lines
+    assert by_op["annotate"]["rows"] > 0
+    import os as _os
+
+    assert _os.path.isdir(_os.path.join(out, "annotate"))
