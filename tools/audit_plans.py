@@ -134,6 +134,28 @@ def main() -> int:
         failures.append("minhash: full posting self-join present")
     print("minhash_verify_candidate_restricted | no bare-shingle join:", ok, flush=True)
 
+    # 6d. embedding-cosine near-dup (r4): LSH-blocked — the plan must
+    # join on the bucket hash and contain NO cartesian product; verify
+    # runs on candidates only (cos filter sits above the bucket join)
+    from tripleforge.ann import cosine_near_dup_pairs
+
+    emdf = spark.read.parquet(f"{SF}/embeddings.parquet")
+    nd_df = cosine_near_dup_pairs(emdf, threshold=0.2, n_bits=8, dim=64)
+    nd_plan = plan_of(nd_df)
+    checks_nd = [
+        ("bucket equi-join present", r"bucket#\d+", True),
+        ("no cartesian product", r"CartesianProduct", False),
+        ("no broadcast nested loop", r"BroadcastNestedLoopJoin", False),
+    ]
+    notes = []
+    for desc, pattern, want in checks_nd:
+        ok = bool(re.search(pattern, nd_plan)) == want
+        notes.append(f"{'OK ' if ok else 'FAIL'} {desc}")
+        if not ok:
+            failures.append(f"cosine_near_dup: {desc}")
+    sections.append(("cosine_near_dup_lsh_blocked", nd_plan, notes))
+    print("cosine_near_dup_lsh_blocked |", " | ".join(notes), flush=True)
+
     # 6c. bound-graph queries partition-prune on the bucketed layout
     import shutil
     import tempfile
