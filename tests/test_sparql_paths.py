@@ -237,3 +237,25 @@ def test_nps_pushdown_plan(df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_closure_deep_chain_path_doubling(spark):
+    """r4: a 200-edge chain converges (the pure linear BFS capped at 25
+    rounds; path doubling covers diameter ~2^23 within the same
+    bound) — found by the sf0.1 oracle sweep."""
+    from tripleforge import sparql
+
+    rows = [
+        (f"urn:n{i}", "urn:next", f"urn:n{i+1}", "iri", None, None, None)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_kind string, "
+        "obj_dt string, obj_lang string, graph string",
+    )
+    out = sparql.select(
+        df,
+        "SELECT (COUNT(*) AS ?n) WHERE { <urn:n0> <urn:next>+ ?x }",
+    ).collect()
+    assert out[0].n == 200  # n0 reaches n1..n200

@@ -123,25 +123,45 @@ def _drop_meta(pairs: DataFrame) -> DataFrame:
     return pairs.drop(*meta) if meta else pairs
 
 
+_CLOSURE_LINEAR_ROUNDS = 3
+
+
 def _closure(base: DataFrame, max_iter: int) -> DataFrame:
-    """Transitive closure of an edge set (one-or-more path step):
-    frontier BFS — each round joins the frontier's object end onto the
-    base edges, keeps only unseen pairs, and localCheckpoints to
-    truncate lineage (same discipline as connected components,
-    link.py). Raises after ``max_iter`` rounds — an unconverged closure
-    on a deep/cyclic graph must fail loudly, not loop forever."""
+    """Transitive closure of an edge set (one-or-more path step).
+
+    Hybrid frontier-BFS / path-doubling (r4 — the 25-round linear BFS
+    hit its bound on sf0.1's longer chains): the first
+    ``_CLOSURE_LINEAR_ROUNDS`` rounds extend the frontier one hop at a
+    time (cheapest for the common shallow case — frontier ∘ base is a
+    small join), then each round composes the FULL reached set with
+    itself, squaring the covered path length — a diameter-d graph
+    converges in ~log2(d) rounds, so ``max_iter`` rounds cover
+    diameter ≈ 2^(max_iter-2): effectively any real graph, while an
+    adversarial non-converging computation still fails loudly. Every
+    round localCheckpoints to truncate lineage (same discipline as
+    connected components, link.py)."""
     base = _drop_meta(base).dropDuplicates().localCheckpoint(eager=True)
     hop = base.select(
         F.col("_ps").alias("_hs"), F.col("_po").alias("_ho")
     ).localCheckpoint(eager=True)
     reached = base
     frontier = base
-    for _ in range(max_iter):
-        nxt = (
-            frontier.join(hop, frontier["_po"] == hop["_hs"])
-            .select(frontier["_ps"], hop["_ho"].alias("_po"))
-            .dropDuplicates()
-        )
+    for rnd in range(max_iter):
+        if rnd < _CLOSURE_LINEAR_ROUNDS:
+            nxt = (
+                frontier.join(hop, frontier["_po"] == hop["_hs"])
+                .select(frontier["_ps"], hop["_ho"].alias("_po"))
+                .dropDuplicates()
+            )
+        else:
+            r2 = reached.select(
+                F.col("_ps").alias("_hs"), F.col("_po").alias("_ho")
+            )
+            nxt = (
+                reached.join(r2, reached["_po"] == r2["_hs"])
+                .select(reached["_ps"], r2["_ho"].alias("_po"))
+                .dropDuplicates()
+            )
         new = nxt.join(reached, ["_ps", "_po"], "left_anti").localCheckpoint(
             eager=True
         )
