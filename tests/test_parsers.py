@@ -230,3 +230,35 @@ def test_multiformat_with_jsonld(spark):
     }
     per_file = stmts.groupBy("src_path", "src_repo").count().collect()
     assert all(r["count"] == 10 for r in per_file)
+
+
+def test_jsonld_adversarial_inputs(spark):
+    """Hostile/odd JSON-LD shapes: loud error channel or correct
+    triples, never a crash or silent wrong output."""
+    from tripleforge.parse.jsonld import JsonLdError, parse_one
+    import pytest as _pytest
+
+    # cyclic @context term definitions -> loud error
+    with _pytest.raises(JsonLdError, match="cyclic"):
+        parse_one("r", "p",
+                  '{"@context": {"a": "b:x", "b": "a:y"}, "@id": "http://x/s", "a:k": "v"}')
+    # non-string @id -> loud error
+    with _pytest.raises(JsonLdError, match="@id must be a string"):
+        parse_one("r", "p", '{"@id": 42, "http://x/p": "v"}')
+    # JSON Infinity / NaN literals -> canonical xsd:double specials
+    t = parse_one("r", "p", '{"@id": "http://x/s", "http://x/p": [Infinity, NaN]}')
+    assert {(x[2], x[4]) for x in t} == {
+        ("INF", "http://www.w3.org/2001/XMLSchema#double"),
+        ("NaN", "http://www.w3.org/2001/XMLSchema#double"),
+    }
+    # big integer beyond int64 keeps its exact decimal lexical
+    t = parse_one("r", "p", '{"@id": "http://x/s", "http://x/p": 123456789012345678901234567890}')
+    assert t[0][2] == "123456789012345678901234567890"
+    # deep nesting parses without recursion blowup at sane depths
+    doc = '{"@id": "http://x/s0", "http://x/p": ' * 60 + '"leaf"' + "}" * 60
+    t = parse_one("r", "p", doc)
+    assert len(t) == 60
+    # @type+@language together in a value object -> loud error
+    with _pytest.raises(JsonLdError, match="mutually exclusive"):
+        parse_one("r", "p",
+                  '{"@id": "http://x/s", "http://x/p": {"@value": "v", "@type": "http://x/t", "@language": "en"}}')

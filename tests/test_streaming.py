@@ -135,3 +135,20 @@ def test_streaming_shadowed_unit_lineage_and_cross_batch_set_semantics(spark, di
     assert ("org/r1", "c3") in {
         (r.repo, r.commit) for r in cat.committed_units().collect()
     }
+
+
+def test_streaming_ingests_jsonld(spark, dirs):
+    """r4: the shared dispatcher means JSON-LD corpora stream through
+    the incremental path identically to batch — format coverage check."""
+    src, chk, cat_dir = dirs
+    spec = CorpusSpec(n_repos=2, files_per_repo=3, stmts_per_file=8,
+                      formats=("jsonld", "nt"))
+    _landing(spark, src, spec)
+    cat = ParquetSnapshotCatalog(spark, cat_dir)
+    q = incremental_build(spark, src, cat, chk, BuildConfig(link_entities=False))
+    q.awaitTermination(120)
+    got = cat.read_statements()
+    assert got.count() == 2 * 3 * 8
+    # the jsonld files genuinely went through the jsonld kernel
+    parsers = {r.parser for r in cat.read_lineage().select("parser").distinct().collect()}
+    assert "jsonld" in parsers
