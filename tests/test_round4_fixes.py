@@ -470,3 +470,56 @@ def test_jsonld_roundtrip_property(spark, tmp_path):
     write_jsonld(df, out, quads=True)
     got = set(parse_one("r", "p", open(out).read()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# §18.2.2.3 LeftJoin condition: OPTIONAL FILTER over outer variables
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lj(spark):
+    rows = [
+        ("urn:a", "urn:p", "5", "literal", None, None, None),
+        ("urn:b", "urn:p", "50", "literal", None, None, None),
+        ("urn:a", "urn:q", "10", "literal", None, None, None),
+        ("urn:a", "urn:q", "3", "literal", None, None, None),
+        ("urn:b", "urn:q", "10", "literal", None, None, None),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_optional_filter_mixed_vars_keeps_failing_left_row(lj):
+    out = sparql.select(
+        lj,
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?s ?o ?x WHERE { ?s <urn:p> ?o "
+        "OPTIONAL { ?s <urn:q> ?x FILTER(xsd:integer(?x) > xsd:integer(?o)) } }",
+    ).collect()
+    got = {(r.s, r.o, r.x) for r in out}
+    # urn:a: only candidate 10 > 5 survives (3 dropped); urn:b: no
+    # candidate beats 50 -> row kept with ?x unbound
+    assert got == {("urn:a", "5", "10"), ("urn:b", "50", None)}
+
+
+def test_optional_filter_mixed_with_block_local_filter(lj):
+    # one block-local filter (pre-join) AND one mixed filter
+    # (join-condition) in the same OPTIONAL
+    out = sparql.select(
+        lj,
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?s ?x WHERE { ?s <urn:p> ?o "
+        "OPTIONAL { ?s <urn:q> ?x FILTER(xsd:integer(?x) > 4) "
+        "FILTER(xsd:integer(?x) > xsd:integer(?o)) } }",
+    ).collect()
+    got = {(r.s, r.x) for r in out}
+    assert got == {("urn:a", "10"), ("urn:b", None)}
+
+
+def test_optional_bind_outer_var_still_rejected(lj):
+    with pytest.raises(sparql.SparqlError, match="not bound"):
+        sparql.select(
+            lj,
+            "SELECT ?s WHERE { ?s <urn:p> ?o "
+            "OPTIONAL { ?s <urn:q> ?x BIND(?o AS ?y) } }",
+        ).collect()

@@ -259,17 +259,27 @@ def test_optional_group_all_or_nothing(df):
     }
 
 
-def test_filter_inside_optional_outer_var_raises(df):
-    """Supported scope is the optional block's own bindings (pre-join
-    filter ≡ LeftJoin-condition there); a filter on an OUTER variable
-    needs join-time evaluation and is rejected loudly, not silently
-    mis-scoped."""
-    with pytest.raises(sparql.SparqlError, match="\\?n is not bound"):
-        sparql.select(
+def test_filter_inside_optional_outer_var_leftjoin_condition(df):
+    """r4 (was a loud restriction r1-r3): an OPTIONAL-scoped FILTER
+    referencing an OUTER variable is part of the LeftJoin condition
+    (SPARQL §18.2.2.3) — evaluated per candidate merge; a left row
+    whose candidates all fail keeps its bindings null-extended."""
+    got = {
+        (r.d, r.r)
+        for r in sparql.select(
             df,
-            "SELECT ?d WHERE { ?d <urn:p:nchars> ?n . "
-            "OPTIONAL { ?d <urn:p:rel> ?r . FILTER(?n > 1) } }",
+            "SELECT ?d ?r WHERE { ?d <urn:p:nchars> ?n . "
+            "OPTIONAL { ?d <urn:p:rel> ?r . FILTER(?n > 150) } }",
         ).collect()
+    }
+    # n>150 holds for docs 2,3,4 — doc2's rel binds; doc1 (n=100) keeps
+    # its row with ?r null even though it HAS a rel statement
+    assert got == {
+        ("urn:doc:1", None),
+        ("urn:doc:2", "urn:skolem:abc123"),
+        ("urn:doc:3", None),
+        ("urn:doc:4", None),
+    }
 
 
 def test_select_star_hides_meta_columns(df):

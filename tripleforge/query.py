@@ -420,10 +420,17 @@ def bgp(
     for block in blocks:
         # an optional group may carry a transform (FILTER/BIND scoped
         # inside the block — compiled by the SPARQL layer) applied to
-        # the sub-BGP before the left join
+        # the sub-BGP before the left join, and — r4 — a LeftJoin
+        # CONDITION builder (SPARQL §18.2.2.3: an OPTIONAL-scoped
+        # FILTER referencing left-hand variables is part of the join
+        # condition, not a pre- or post-filter)
         transform = None
+        join_cond = None
         if isinstance(block, tuple):
-            block, transform = block
+            if len(block) == 3:
+                block, transform, join_cond = block
+            else:
+                block, transform = block
         if len(block) == 1:
             pt = block[0]
             if isinstance(pt.p, tuple):
@@ -451,5 +458,27 @@ def bgp(
         shared = [c for c in sub.columns if c in result.columns and "__" not in c]
         if not shared:
             raise ValueError("OPTIONAL block shares no variable with the BGP")
-        result = result.join(sub, on=shared, how="left")
+        if join_cond is None:
+            result = result.join(sub, on=shared, how="left")
+            continue
+        # LeftJoin with a condition over BOTH sides' bindings:
+        #   LeftJoin(L, R, F) = {merge(l, r) | r compatible ∧ F holds}
+        #                     ∪ {l | no compatible r satisfies F}
+        # Implemented with a stable row id on L (materialized via
+        # localCheckpoint so the id never recomputes differently): the
+        # name-equi left join gives the candidate merges, F filters
+        # them, and L rows with NO surviving candidate re-enter with
+        # null-extended optional bindings.
+        lrow = "__lrow"
+        left = result.withColumn(
+            lrow, F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        marked = sub.withColumn("__rmatch", F.lit(1))
+        j = left.join(marked, on=shared, how="left")
+        sat = j.where(F.col("__rmatch").isNotNull() & join_cond(set(j.columns)))
+        unmatched = left.join(sat.select(lrow), lrow, "left_anti")
+        r_only = [c for c in marked.columns if c not in left.columns and c != "__rmatch"]
+        for c in r_only:
+            unmatched = unmatched.withColumn(c, F.lit(None).cast("string"))
+        result = sat.drop("__rmatch").unionByName(unmatched).drop(lrow)
     return result

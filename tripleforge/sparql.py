@@ -252,20 +252,52 @@ def _apply_ops(
 
 
 
+def _optional_entry(block: list, bops: list[tuple] | None):
+    """OPTIONAL block + its scoped ops → a bgp ``optional_groups``
+    entry: ``(patterns, transform)`` when every FILTER references only
+    block-local variables (the common case — applied to the sub-BGP
+    BEFORE the left join, where it can only drop/extend optional rows),
+    or ``(patterns, transform, leftjoin_cond)`` when a FILTER also
+    references LEFT-hand variables: SPARQL §18.2.2.3 makes such a
+    filter part of the LeftJoin CONDITION, evaluated per candidate
+    merge with a failing left row kept null-extended (r4 — closes the
+    previously-documented deviation; BIND remains block-local-only,
+    rejecting loudly on outer references)."""
+    if bops is None:
+        return block
+    local: set[str] = set()
+    for pt in block:
+        local |= pt.variables
+    pre: list[tuple] = []
+    deferred: list[tuple] = []
+    for op in bops:
+        if op[0] == "bind":
+            pre.append(op)
+            local.add(op[1])
+        elif op[0] == "expr":
+            vars_ = _expr_vars(op[1])
+            (pre if vars_ <= local else deferred).append(op)
+        else:  # pragma: no cover - parser only emits expr/bind here
+            raise SparqlError(f"unsupported op inside OPTIONAL: {op[0]}")
+    transform = _optional_ops_transform(pre)
+    if not deferred:
+        return (block, transform)
+
+    def leftjoin_cond(bound: set[str]):
+        col = None
+        for op in deferred:
+            c = _compile_filter(op, bound)
+            col = c if col is None else col & c
+        return col
+
+    return (block, transform, leftjoin_cond)
+
+
 def _optional_ops_transform(bops: list[tuple]):
     """FILTER/BIND ops scoped inside an OPTIONAL block → a DataFrame
     transform applied to the block's sub-BGP BEFORE the left-outer
-    join.
-
-    DELIBERATE RESTRICTION vs the spec (ADVICE r3): SPARQL §18.2.2.3
-    makes an OPTIONAL-scoped FILTER part of the LeftJoin CONDITION, so
-    it may reference variables bound only on the left-hand side; this
-    engine compiles it against the block's own bindings and raises
-    'expression variable not bound' for such queries (loud, tested as
-    a limitation in test_sparql_text.py) rather than silently joining
-    wrong. Filters that reference only block-local variables — the
-    overwhelmingly common case — are exact: they can only drop/extend
-    optional rows, never required ones."""
+    join (block-local operations only; outer-variable FILTERs go
+    through :func:`_optional_entry`'s LeftJoin-condition path)."""
 
     def transform(sub: DataFrame) -> DataFrame:
         out = sub
@@ -310,9 +342,7 @@ def _solutions(
                 statements, patterns, allow_cartesian=allow_cartesian,
                 carry_meta=meta, n_buckets=n_buckets,
                 optional_groups=[
-                    (e[0], _optional_ops_transform(e[1]))
-                    if isinstance(e, tuple)
-                    else e
+                    _optional_entry(e[0], e[1]) if isinstance(e, tuple) else e
                     for e in optional_blocks
                 ],
             )

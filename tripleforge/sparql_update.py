@@ -448,7 +448,7 @@ def execute_update(
         from tripleforge.sparql import (
             _apply_ops,
             _instantiate,
-            _optional_ops_transform,
+            _optional_entry,
         )
 
         store = catalog.read_statements()
@@ -461,9 +461,7 @@ def execute_update(
         sol = bgp(
             store, patterns, carry_meta=True, n_buckets=nb,
             optional_groups=[
-                (e[0], _optional_ops_transform(e[1]))
-                if isinstance(e, tuple)
-                else e
+                _optional_entry(e[0], e[1]) if isinstance(e, tuple) else e
                 for e in opt_blocks
             ],
         )
