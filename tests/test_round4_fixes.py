@@ -523,3 +523,26 @@ def test_optional_bind_outer_var_still_rejected(lj):
             "SELECT ?s WHERE { ?s <urn:p> ?o "
             "OPTIONAL { ?s <urn:q> ?x BIND(?o AS ?y) } }",
         ).collect()
+
+
+def test_inherited_graph_var_optional_under_dataset(spark):
+    """r4 (was a loud rejection): OPTIONAL inside GRAPH ?g under
+    FROM/FROM NAMED — the marker exclusion applies PRE-join to the
+    optional sub-BGP, so default-graph rows never bind while unmatched
+    left rows survive null-extended."""
+    rows = [
+        ("urn:a", "urn:p", "1", "literal", None, None, "urn:g1"),
+        ("urn:b", "urn:p", "2", "literal", None, None, "urn:g1"),
+        ("urn:a", "urn:q", "x", "literal", None, None, "urn:g0"),
+        ("urn:a", "urn:q", "y", "literal", None, None, "urn:g1"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sparql.select(
+        df,
+        "SELECT ?s ?x ?g FROM <urn:g0> FROM NAMED <urn:g1> WHERE "
+        "{ GRAPH ?g { ?s <urn:p> ?o OPTIONAL { ?s <urn:q> ?x } } }",
+    ).collect()
+    assert {(r.s, r.x, r.g) for r in out} == {
+        ("urn:a", "y", "urn:g1"),
+        ("urn:b", None, "urn:g1"),
+    }

@@ -277,6 +277,10 @@ def _optional_entry(block: list, bops: list[tuple] | None):
         elif op[0] == "expr":
             vars_ = _expr_vars(op[1])
             (pre if vars_ <= local else deferred).append(op)
+        elif op[0] == "cmp":
+            # injected by the dataset rewrite (graph-marker exclusion);
+            # always block-local by construction
+            pre.append(op)
         else:  # pragma: no cover - parser only emits expr/bind here
             raise SparqlError(f"unsupported op inside OPTIONAL: {op[0]}")
     transform = _optional_ops_transform(pre)
@@ -302,7 +306,7 @@ def _optional_ops_transform(bops: list[tuple]):
     def transform(sub: DataFrame) -> DataFrame:
         out = sub
         for op in bops:
-            if op[0] == "expr":
+            if op[0] in ("expr", "cmp"):
                 out = out.where(_compile_filter(op, set(out.columns)))
             elif op[0] == "bind":
                 _, alias, tree = op

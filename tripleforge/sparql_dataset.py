@@ -125,14 +125,19 @@ def _dataset_rewrite_group(grp: tuple) -> tuple:
     new_opts = []
     for entry in optional_blocks:
         block, bops = entry if isinstance(entry, tuple) else (entry, None)
-        for p in block:
-            if p.g is not None and p.g.startswith("?"):
-                # the marker-exclusion filter would also drop the
-                # NULL rows an unmatched OPTIONAL must keep
-                raise SparqlError(
-                    "GRAPH ?var inside OPTIONAL is not supported together "
-                    "with FROM/FROM NAMED"
-                )
+        # graph vars inside the OPTIONAL block get the marker exclusion
+        # as a BLOCK-SCOPED (pre-join) filter: it removes only the
+        # marker-relabelled default-row CANDIDATES from the sub-BGP, so
+        # an unmatched left row still survives null-extended (r4 — this
+        # was a loud rejection while the exclusion could only be
+        # expressed post-join)
+        block_gvars = sorted(
+            {p.g[1:] for p in block if p.g is not None and p.g.startswith("?")}
+        )
+        if block_gvars:
+            bops = list(bops) if bops is not None else []
+            for v in block_gvars:
+                bops.append(("cmp", v, "!=", _DATASET_DEFAULT_G, False))
         rewritten = [_dataset_pattern(p) for p in block]
         new_opts.append((rewritten, bops) if bops is not None else rewritten)
     gvars = {
