@@ -546,3 +546,23 @@ def test_inherited_graph_var_optional_under_dataset(spark):
         ("urn:a", "y", "urn:g1"),
         ("urn:b", None, "urn:g1"),
     }
+
+
+def test_describe_with_dataset_clauses(spark):
+    """r4: DESCRIBE ... FROM <g> — WHERE evaluates on the dataset view,
+    the description scans only the dataset's graphs (original graph
+    labels preserved)."""
+    rows = [
+        ("urn:a", "urn:p", "urn:b", "iri", None, None, "urn:g1"),
+        ("urn:b", "urn:q", "1", "literal", None, None, "urn:g1"),
+        ("urn:b", "urn:q", "2", "literal", None, None, "urn:g2"),  # outside
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sparql.describe(
+        df, "DESCRIBE ?o FROM <urn:g1> WHERE { ?s <urn:p> ?o }"
+    )
+    got = {(r.subj, r.pred, r.obj, r.graph) for r in out.collect()}
+    assert got == {
+        ("urn:a", "urn:p", "urn:b", "urn:g1"),  # b as IRI object
+        ("urn:b", "urn:q", "1", "urn:g1"),      # b's g1 row only
+    }

@@ -624,10 +624,24 @@ def describe(
             c.next()
             star = True
             continue
+        if _kw(t, "FROM"):
+            break  # DatasetClause* follows the term list (§16.4 grammar)
         term = c.pattern_term("DESCRIBE")
         iris.append(term)
     if not iris and not dvars and not star:
         raise SparqlError("DESCRIBE needs at least one IRI, variable, or *")
+    dataset = _parse_dataset(c)
+    # dataset clauses (r4): WHERE evaluates against the dataset view
+    # (marker default-graph semantics, like SELECT); the DESCRIPTION
+    # scans the store restricted to the dataset's graphs, preserving
+    # each statement's original graph label in the output
+    desc_store = statements
+    if dataset and (dataset[0] or dataset[1]):
+        from pyspark.sql import functions as _F
+
+        desc_store = statements.where(
+            _F.col("graph").isin(sorted(set(dataset[0]) | set(dataset[1])))
+        )
     spark = statements.sparkSession
     parts: list[DataFrame] = []
     if iris:
@@ -640,9 +654,12 @@ def describe(
             )
         groups = _parse_group_pattern(c)
         _parse_modifiers(c)
+        wstore, wgroups, wnb = _apply_dataset(
+            statements, groups, dataset, n_buckets
+        )
         sol = _solutions(
-            statements, groups, allow_cartesian=allow_cartesian,
-            n_buckets=n_buckets,
+            wstore, wgroups, allow_cartesian=allow_cartesian,
+            n_buckets=wnb,
         )
         if star:
             # same visibility rule as SELECT *: user variables only,
@@ -668,13 +685,13 @@ def describe(
     resources = resources.where(F.col("r").isNotNull()).dropDuplicates()
     cols = [
         f for f in ("subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang", "graph")
-        if f in statements.columns
+        if f in desc_store.columns
     ]
-    by_subj = statements.join(
-        F.broadcast(resources), statements["subj"] == resources["r"], "left_semi"
+    by_subj = desc_store.join(
+        F.broadcast(resources), desc_store["subj"] == resources["r"], "left_semi"
     )
-    by_obj = statements.where(F.col("obj_kind") == "iri").join(
-        F.broadcast(resources), statements["obj"] == resources["r"], "left_semi"
+    by_obj = desc_store.where(F.col("obj_kind") == "iri").join(
+        F.broadcast(resources), desc_store["obj"] == resources["r"], "left_semi"
     )
     return by_subj.select(*cols).unionByName(by_obj.select(*cols)).dropDuplicates()
 
