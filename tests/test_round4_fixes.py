@@ -95,13 +95,52 @@ def test_inherited_graph_var_in_exists_ignores_default_rows(ds):
     assert sorted(r.s for r in out.collect()) == ["urn:b"]
 
 
-def test_explicit_graph_inside_minus_rejected(ds):
-    with pytest.raises(sparql.SparqlError, match="GRAPH inside MINUS"):
-        sparql.select(
-            ds,
-            "SELECT ?s FROM <urn:g0> WHERE { ?s <urn:p> ?o "
-            "MINUS { GRAPH ?g { ?s <urn:p> ?o } } }",
-        )
+def test_explicit_graph_var_in_minus_under_dataset(ds):
+    """r4b: explicit GRAPH ?g inside MINUS now parses (was a grammar
+    rejection) — under FROM-only the named-graph set is empty, so the
+    MINUS block matches NOTHING: in particular the marker-relabelled
+    default rows must not bind ?g and remove solutions (the exact
+    ADVICE r3 scenario, now directly expressible)."""
+    out = sparql.select(
+        ds,
+        "SELECT ?s FROM <urn:g0> FROM <urn:g1> WHERE { ?s <urn:p> ?o "
+        "MINUS { GRAPH ?g { ?s <urn:q> ?x } } }",
+    )
+    assert sorted(r.s for r in out.collect()) == ["urn:a", "urn:b"]
+
+
+def test_explicit_graph_var_in_minus_sees_from_named(ds):
+    out = sparql.select(
+        ds,
+        "SELECT ?s FROM <urn:g0> FROM <urn:g1> FROM NAMED <urn:g1> WHERE "
+        "{ ?s <urn:p> ?o MINUS { GRAPH ?g { ?s <urn:q> ?x } } }",
+    )
+    # g1 holds (urn:b urn:q y) -> MINUS removes urn:b only; urn:a's
+    # urn:q row lives in the (marker) default graph and must not count
+    assert sorted(r.s for r in out.collect()) == ["urn:a"]
+
+
+def test_explicit_graph_in_minus_exists_optional(spark):
+    rows = [
+        ("urn:a", "urn:p", "1", "literal", None, None, None),
+        ("urn:b", "urn:p", "2", "literal", None, None, None),
+        ("urn:a", "urn:q", "x", "literal", None, None, "urn:g1"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    r1 = sparql.select(
+        df, "SELECT ?s WHERE { ?s <urn:p> ?o MINUS { GRAPH <urn:g1> { ?s <urn:q> ?x } } }"
+    )
+    assert sorted(r.s for r in r1.collect()) == ["urn:b"]
+    r2 = sparql.select(
+        df, "SELECT ?s WHERE { ?s <urn:p> ?o FILTER EXISTS { GRAPH ?g { ?s <urn:q> ?x } } }"
+    )
+    assert sorted(r.s for r in r2.collect()) == ["urn:a"]
+    r3 = sparql.select(
+        df, "SELECT ?s ?x WHERE { ?s <urn:p> ?o OPTIONAL { GRAPH <urn:g1> { ?s <urn:q> ?x } } }"
+    )
+    assert sorted((r.s, r.x) for r in r3.collect()) == [
+        ("urn:a", "x"), ("urn:b", None),
+    ]
 
 
 # ---------------------------------------------------------------------------

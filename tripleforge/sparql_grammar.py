@@ -366,13 +366,16 @@ def _parse_group_pattern(
                 if t[0] == "GRAPHKW" or _kw(t, "GRAPH"):
                     if graph_term is not None:
                         raise SparqlError("nested GRAPH patterns are not supported")
-                    if sub:
-                        raise SparqlError(f"GRAPH inside {sub} is not supported")
                     c.next()
                     g = c.pattern_term("graph")
                     if c.next() != ("PUNCT", "{"):
                         raise SparqlError("expected '{' after GRAPH label")
-                    triples_until_close(g, sink)
+                    # r4: GRAPH blocks are allowed inside MINUS/EXISTS/
+                    # OPTIONAL too — patterns simply carry the graph
+                    # term into the sub-BGP (evaluation is graph-
+                    # agnostic; dataset rewrites collect the block's
+                    # graph vars for marker exclusion)
+                    triples_until_close(g, sink, sub=sub, sub_ops=sub_ops)
                     continue
                 if _kw(t, "OPTIONAL"):
                     if sub:
