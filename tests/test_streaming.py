@@ -152,3 +152,17 @@ def test_streaming_ingests_jsonld(spark, dirs):
     # the jsonld files genuinely went through the jsonld kernel
     parsers = {r.parser for r in cat.read_lineage().select("parser").distinct().collect()}
     assert "jsonld" in parsers
+
+
+def test_incremental_build_rejects_swapped_args(spark, dirs):
+    """Regression (VERDICT r4 #1): passing the Catalog where the
+    checkpoint path belongs must raise loudly, not litter os.getcwd()
+    with a '<...object at 0x...>' directory."""
+    src, chk, root = dirs
+    cat = ParquetSnapshotCatalog(spark, root)
+    with pytest.raises(TypeError, match="checkpoint_dir"):
+        incremental_build(spark, src, cat, cat)  # swapped: catalog as path
+    with pytest.raises(TypeError, match="catalog"):
+        incremental_build(spark, src, chk, chk)  # path where catalog belongs
+    with pytest.raises(TypeError, match="source_path"):
+        incremental_build(spark, cat, cat, chk)

@@ -24,6 +24,8 @@ truth for parse/canon/dedup/commit semantics (D9).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType, TimestampType
@@ -123,6 +125,17 @@ def incremental_build(
     whatever has landed and stops (catch-up semantics), matching the
     batch build's output exactly.
     """
+    # Guard against swapped (catalog, checkpoint_dir) args: Spark would
+    # str() a Catalog into a literal "<...object at 0x...>" directory at
+    # os.getcwd() instead of failing (seen once in r4's working tree).
+    if not isinstance(source_path, (str, os.PathLike)):
+        raise TypeError(f"source_path must be a path, got {type(source_path).__name__}")
+    if not isinstance(checkpoint_dir, (str, os.PathLike)):
+        raise TypeError(
+            f"checkpoint_dir must be a path, got {type(checkpoint_dir).__name__}"
+        )
+    if isinstance(catalog, (str, os.PathLike)):
+        raise TypeError("catalog must be a Catalog instance, got a path string")
     cfg = cfg or BuildConfig(link_entities=False)
     stream = with_dedup_watermark(stream_corpus(spark, source_path)).observe(
         "ingest", F.count(F.lit(1)).alias("rows_in")
