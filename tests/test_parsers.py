@@ -204,7 +204,7 @@ def test_jsonld_error_channel(spark):
         ("r", "b.jsonld", "c0", "JSON-LD",
          '{"@context": "https://schema.org", "@id": "http://x/s"}'),
         ("r", "c.jsonld", "c0", "JSON-LD",
-         '{"@id": "http://x/s", "@reverse": {"http://x/p": {"@id": "http://x/o"}}}'),
+         '{"@id": "http://x/s", "@nest": {"http://x/p": {"@id": "http://x/o"}}}'),
         ("r", "d.jsonld", "c0", "JSON-LD",
          '{"@id": "http://x/s", "http://x/p": "ok"}'),
     ]
@@ -214,7 +214,7 @@ def test_jsonld_error_channel(spark):
     errs = {e.src_path: e.error for e in errors.collect()}
     assert set(errs) == {"a.jsonld", "b.jsonld", "c.jsonld"}
     assert "remote @context" in errs["b.jsonld"]
-    assert "@reverse" in errs["c.jsonld"]
+    assert "@nest" in errs["c.jsonld"]
 
 
 def test_multiformat_with_jsonld(spark):
@@ -262,3 +262,123 @@ def test_jsonld_adversarial_inputs(spark):
     with _pytest.raises(JsonLdError, match="mutually exclusive"):
         parse_one("r", "p",
                   '{"@id": "http://x/s", "http://x/p": {"@value": "v", "@type": "http://x/t", "@language": "en"}}')
+
+
+def test_jsonld_vocab_term_definition_without_id():
+    """ADVICE r4 #1: a term definition that omits @id and relies on
+    @vocab (schema.org-style {"knows": {"@type": "@id"}}) must expand
+    via @vocab, not KeyError onto the error channel."""
+    from tripleforge.parse.jsonld import JsonLdError, parse_one
+    import pytest as _pytest
+
+    t = parse_one("r", "p", """
+    {"@context": {"@vocab": "http://schema.org/",
+                  "knows": {"@type": "@id"}},
+     "@id": "http://x/alice", "knows": "http://x/bob"}""")
+    assert t == [("http://x/alice", "http://schema.org/knows",
+                  "http://x/bob", "iri", None, None, None)]
+    # compact-IRI-shaped @id-less term expands as a compact IRI
+    t = parse_one("r", "p", """
+    {"@context": {"ex": "http://x/v#", "ex:p": {"@type": "@id"}},
+     "@id": "http://x/s", "ex:p": "http://x/o"}""")
+    assert t[0][1] == "http://x/v#p"
+    # no @vocab and no colon -> loud error, not KeyError('@id')
+    with _pytest.raises(JsonLdError, match="no @vocab"):
+        parse_one("r", "p", """
+        {"@context": {"knows": {"@type": "@id"}},
+         "@id": "http://x/s", "knows": "http://x/o"}""")
+
+
+def test_jsonld_reverse():
+    """r5: @reverse as node-object keyword and in term definitions."""
+    from tripleforge.parse.jsonld import JsonLdError, parse_one
+    import pytest as _pytest
+
+    # keyword form: (o, p, s)
+    t = parse_one("r", "p", """
+    {"@id": "http://x/s",
+     "@reverse": {"http://x/parentOf": [{"@id": "http://x/c1"},
+                                        {"@id": "http://x/c2"}]}}""")
+    assert set(t) == {
+        ("http://x/c1", "http://x/parentOf", "http://x/s", "iri", None, None, None),
+        ("http://x/c2", "http://x/parentOf", "http://x/s", "iri", None, None, None),
+    }
+    # reverse term definition with @type:@id string coercion
+    t = parse_one("r", "p", """
+    {"@context": {"children": {"@reverse": "http://x/parentOf",
+                               "@type": "@id"}},
+     "@id": "http://x/s", "children": ["http://x/c1", "http://x/c2"]}""")
+    assert set(x[:3] for x in t) == {
+        ("http://x/c1", "http://x/parentOf", "http://x/s"),
+        ("http://x/c2", "http://x/parentOf", "http://x/s"),
+    }
+    # nested node objects under a reverse property emit their own triples
+    t = parse_one("r", "p", """
+    {"@context": {"children": {"@reverse": "http://x/parentOf"}},
+     "@id": "http://x/s",
+     "children": {"@id": "http://x/c", "http://x/name": "kid"}}""")
+    assert ("http://x/c", "http://x/parentOf", "http://x/s", "iri", None,
+            None, None) in t
+    assert any(x[0] == "http://x/c" and x[1] == "http://x/name" and
+               x[2] == "kid" for x in t)
+    # a reverse term used inside @reverse double-flips to forward
+    t = parse_one("r", "p", """
+    {"@context": {"children": {"@reverse": "http://x/parentOf"}},
+     "@id": "http://x/s",
+     "@reverse": {"children": {"@id": "http://x/q"}}}""")
+    assert t == [("http://x/s", "http://x/parentOf", "http://x/q",
+                  "iri", None, None, None)]
+    # literals under a reverse property are invalid
+    with _pytest.raises(JsonLdError, match="reverse property"):
+        parse_one("r", "p", """
+        {"@id": "http://x/s", "@reverse": {"http://x/p": "literal"}}""")
+
+
+def test_jsonld_container_maps():
+    """r5: @container @language and @index maps."""
+    from tripleforge.parse.jsonld import parse_one
+    from tripleforge.schema import RDF_LANGSTRING, XSD_STRING
+
+    t = parse_one("r", "p", """
+    {"@context": {"label": {"@id": "http://x/label",
+                            "@container": "@language"}},
+     "@id": "http://x/s",
+     "label": {"en": "cat", "de": ["Katze", "Mieze"], "@none": "plain"}}""")
+    got = {(x[2], x[4], x[5]) for x in t}
+    assert got == {
+        ("cat", RDF_LANGSTRING, "en"),
+        ("Katze", RDF_LANGSTRING, "de"),
+        ("Mieze", RDF_LANGSTRING, "de"),
+        ("plain", XSD_STRING, None),
+    }
+    # index map: keys dropped, values emitted with term coercion intact
+    t = parse_one("r", "p", """
+    {"@context": {"post": {"@id": "http://x/post", "@type": "@id",
+                           "@container": "@index"}},
+     "@id": "http://x/s",
+     "post": {"2024": "http://x/p1", "2025": ["http://x/p2"]}}""")
+    assert {(x[2], x[3]) for x in t} == {
+        ("http://x/p1", "iri"), ("http://x/p2", "iri"),
+    }
+
+
+def test_jsonld_implementation_bugs_propagate(spark):
+    """ADVICE r4 #3: parse_jsonld only converts JSONDecodeError/
+    JsonLdError into error-channel rows; anything else is a parser bug
+    and must raise."""
+    import pandas as pd
+    from unittest import mock
+
+    from tripleforge.parse import jsonld as mod
+
+    pdf = pd.DataFrame(
+        {"repo": ["r"], "path": ["p"], "commit": ["c"],
+         "content": ['{"@id": "http://x/s", "http://x/p": "v"}']}
+    )
+    with mock.patch.object(mod, "parse_one", side_effect=KeyError("@id")):
+        try:
+            mod.parse_jsonld(pdf)
+            raised = False
+        except KeyError:
+            raised = True
+    assert raised

@@ -6,9 +6,17 @@ Covered:
 - inline ``@context``: object or array of objects merged left-to-right;
   term → IRI string mappings, expanded term definitions
   ``{"@id": …, "@type": "@id"|<dt>, "@language": …, "@container":
-  "@list"|"@set"}``, ``@vocab``, ``@base``, default ``@language``,
-  compact IRIs (``prefix:suffix``, resolved recursively), ``null``
-  term/language clearing.
+  "@list"|"@set"|"@language"|"@index", "@reverse": …}``, @id-less term
+  definitions that rely on ``@vocab`` or the compact-IRI form of the
+  term itself (r5, per Create Term Definition), ``@vocab``, ``@base``,
+  default ``@language``, compact IRIs (``prefix:suffix``, resolved
+  recursively), ``null`` term/language clearing.
+- ``@reverse`` (r5): reverse term definitions and the node-object
+  ``"@reverse": {prop: nodes}`` keyword — emits (object, prop, subject);
+  a reverse term used inside ``@reverse`` flips back to forward.
+- container maps (r5): ``@container: @language`` (lang → string(s),
+  ``@none`` key → plain literal) and ``@container: @index`` (index keys
+  dropped, values emitted — toRdf ignores indexes).
 - node objects: ``@id`` (IRI / compact / ``_:`` blank), ``@type``
   (string or array), nested node objects (fresh deterministic blank
   node when anonymous), arrays everywhere, ``@graph`` (top-level =
@@ -22,9 +30,9 @@ Covered:
   ``{"@set": […]}`` → flattened.
 
 Rejected LOUDLY (error channel, never silent): remote (string)
-contexts — no network in a batch parser worker — ``@reverse``,
-``@index``/``@id``/``@type``/``@language`` containers, ``@nest``,
-``@included``, ``@json`` literals, ``@direction``.
+contexts — no network in a batch parser worker — ``@id``/``@type``
+containers (JSON-LD 1.1), ``@nest``, ``@included``, ``@json``
+literals, ``@direction``.
 
 Runs per-file inside the ``mapInPandas``/``mapInArrow`` batch via the
 stdlib ``json`` module — same batch shape as the RDF/XML kernel (A7).
@@ -59,7 +67,7 @@ _KEYWORDS = {
     "@prefix",
 }
 _UNSUPPORTED_KEYS = {
-    "@reverse", "@nest", "@included", "@direction",
+    "@nest", "@included", "@direction",
 }
 _HAS_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
@@ -125,10 +133,18 @@ def _apply_context(ctx: _Ctx, spec) -> _Ctx:
         raise JsonLdError(f"invalid @context of type {type(spec).__name__}")
     out = ctx.child()
     if "@vocab" in spec:
+        if spec["@vocab"] is not None and not isinstance(spec["@vocab"], str):
+            raise JsonLdError("@vocab must be a string or null")
         out.vocab = spec["@vocab"]
     if "@base" in spec:
+        if spec["@base"] is not None and not isinstance(spec["@base"], str):
+            raise JsonLdError("@base must be a string or null")
         out.base = spec["@base"] or ""
     if "@language" in spec:
+        if spec["@language"] is not None and not isinstance(
+            spec["@language"], str
+        ):
+            raise JsonLdError("@language must be a string or null")
         out.language = spec["@language"]
     for term, defn in spec.items():
         if term in ("@vocab", "@base", "@language", "@version"):
@@ -140,14 +156,41 @@ def _apply_context(ctx: _Ctx, spec) -> _Ctx:
         elif isinstance(defn, str):
             out.terms[term] = {"@id": defn}
         elif isinstance(defn, dict):
+            if "@reverse" in defn:
+                bad = set(defn) - {"@reverse", "@type", "@container"}
+                if bad:
+                    raise JsonLdError(
+                        f"unsupported reverse term definition keys "
+                        f"{sorted(bad)} for {term!r}"
+                    )
+                if not isinstance(defn["@reverse"], str):
+                    raise JsonLdError("@reverse in a term def must be a string")
+                if defn.get("@type") not in (None, "@id"):
+                    raise JsonLdError(
+                        "a reverse term may only coerce @type: @id"
+                    )
+                if defn.get("@container") not in (None, "@set", "@index"):
+                    raise JsonLdError("invalid reverse property @container")
+                entry = {"@id": defn["@reverse"], "reverse": True}
+                if defn.get("@type") == "@id":
+                    entry["@type"] = "@id"
+                if defn.get("@container") == "@index":
+                    entry["@container"] = "@index"
+                out.terms[term] = entry
+                continue
             bad = set(defn) - {"@id", "@type", "@language", "@container"}
             if bad:
                 raise JsonLdError(
                     f"unsupported term definition keys {sorted(bad)} "
                     f"for {term!r}"
                 )
+            if "@id" in defn and defn["@id"] is not None and not isinstance(
+                defn["@id"], str
+            ):
+                raise JsonLdError(f"@id in term definition for {term!r} "
+                                  "must be a string or null")
             cont = defn.get("@container")
-            if cont not in (None, "@list", "@set"):
+            if cont not in (None, "@list", "@set", "@language", "@index"):
                 raise JsonLdError(f"unsupported @container {cont!r}")
             out.terms[term] = dict(defn)
         else:
@@ -182,24 +225,40 @@ def _expand_iri(ctx: _Ctx, value: str, vocab: bool, _seen: frozenset = frozenset
     term definitions and @vocab (predicate/type position); False uses
     @base (id position). Returns None for null-mapped terms / keywords
     handled elsewhere."""
+    if not isinstance(value, str):
+        raise JsonLdError(
+            f"expected an IRI/term string, got {type(value).__name__}"
+        )
     if value in _KEYWORDS:
         return value
     if value in _seen:
         raise JsonLdError(f"cyclic term definition via {value!r}")
     if vocab and value in ctx.terms:
-        mapped = ctx.terms[value]["@id"]
-        if mapped is None:
-            return None
-        if mapped in _KEYWORDS:
-            return mapped
-        return _expand_iri(ctx, mapped, True, _seen | {value})
+        entry = ctx.terms[value]
+        if "@id" in entry:
+            mapped = entry["@id"]
+            if mapped is None:
+                return None
+            if mapped in _KEYWORDS:
+                return mapped
+            return _expand_iri(ctx, mapped, True, _seen | {value})
+        # @id-less term definition (e.g. {"@type": "@id"} relying on
+        # @vocab) — Create Term Definition step 14: compact-IRI-shaped
+        # terms expand as compact IRIs, else @vocab + term.
+        if ":" not in value:
+            if ctx.vocab:
+                return ctx.vocab + value
+            raise JsonLdError(
+                f"term {value!r} has no @id mapping and no @vocab is set"
+            )
+        # fall through to the compact-IRI branch below
     if value.startswith("_:"):
         return value
     if ":" in value:
         prefix, _, suffix = value.partition(":")
         if suffix.startswith("//"):
             return value  # absolute IRI like http://…
-        if prefix in ctx.terms and ctx.terms[prefix]["@id"] is not None:
+        if prefix in ctx.terms and ctx.terms[prefix].get("@id") is not None:
             base = _expand_iri(ctx, prefix, True, _seen | {value})
             return (base or "") + suffix
         if _HAS_SCHEME.match(value):
@@ -231,6 +290,37 @@ def _emit_value(st, ctx, subj, pred, value, tdef, graph):
     """One property value → triple(s). ``tdef`` is the (possibly empty)
     term definition controlling coercion."""
     if value is None:
+        return
+    cont = tdef.get("@container")
+    if cont == "@language" and isinstance(value, dict) and "@value" not in value:
+        # language map: {"en": "x", "de": ["y", "z"], "@none": "plain"}
+        for lang in sorted(value):
+            vals = value[lang]
+            if not isinstance(vals, list):
+                vals = [vals]
+            for v in vals:
+                if v is None:
+                    continue
+                if not isinstance(v, str):
+                    raise JsonLdError(
+                        "language map values must be strings, got "
+                        f"{type(v).__name__} under {lang!r}"
+                    )
+                if lang == "@none":
+                    st.emit(subj, pred, v, "literal", XSD_STRING, None, graph)
+                else:
+                    st.emit(subj, pred, v, "literal", RDF_LANGSTRING,
+                            lang.lower(), graph)
+        return
+    if (
+        cont == "@index"
+        and isinstance(value, dict)
+        and not ({"@value", "@id", "@list", "@set", "@graph"} & set(value))
+    ):
+        # index map: keys are data-organization only — toRdf drops them
+        sub = {k: v for k, v in tdef.items() if k != "@container"}
+        for idx in sorted(value):
+            _emit_value(st, ctx, subj, pred, value[idx], sub, graph)
         return
     if isinstance(value, list):
         if tdef.get("@container") == "@list":
@@ -274,6 +364,8 @@ def _emit_value(st, ctx, subj, pred, value, tdef, graph):
             st.emit(subj, pred, value, "literal", dt, None, graph)
             return
         lang = tdef["@language"] if "@language" in tdef else ctx.language
+        if lang is not None and not isinstance(lang, str):
+            raise JsonLdError("@language must be a string or null")
         if lang:
             st.emit(subj, pred, value, "literal", RDF_LANGSTRING,
                     lang.lower(), graph)
@@ -313,6 +405,8 @@ def _emit_value_object(st, ctx, subj, pred, obj, graph):
     if "@language" in obj:
         if not isinstance(v, str):
             raise JsonLdError("@language requires a string @value")
+        if not isinstance(obj["@language"], str):
+            raise JsonLdError("@language must be a string")
         st.emit(subj, pred, v, "literal", RDF_LANGSTRING,
                 obj["@language"].lower(), graph)
         return
@@ -370,6 +464,37 @@ def _emit_list(st, ctx, items, tdef, graph) -> str:
     return head
 
 
+def _emit_reverse(st, ctx, subj, pred, value, tdef, graph):
+    """Reverse property value(s) → (object, pred, subj) triples. Values
+    must denote nodes (node objects, node references, or strings under
+    ``@type: @id`` coercion) — literals are invalid per toRdf."""
+    if value is None:
+        return
+    if isinstance(value, list):
+        for v in value:
+            _emit_reverse(st, ctx, subj, pred, v, tdef, graph)
+        return
+    if isinstance(value, dict):
+        if "@value" in value or "@list" in value:
+            raise JsonLdError(
+                "reverse property values must be node objects, not "
+                "literals or lists"
+            )
+        if "@set" in value:
+            _emit_reverse(st, ctx, subj, pred, value["@set"], tdef, graph)
+            return
+        node = _node_object(st, ctx, value, graph)
+        st.emit(node, pred, subj, "iri", None, None, graph)
+        return
+    if isinstance(value, str) and tdef.get("@type") == "@id":
+        st.emit(_to_node_id(st, ctx, value), pred, subj, "iri", None, None,
+                graph)
+        return
+    raise JsonLdError(
+        f"invalid reverse property value of type {type(value).__name__}"
+    )
+
+
 def _node_object(st: _State, ctx: _Ctx, obj: dict, graph: str | None) -> str:
     """Emit a node object's triples; returns the node's term (IRI or
     skolemized blank node)."""
@@ -405,9 +530,29 @@ def _node_object(st: _State, ctx: _Ctx, obj: dict, graph: str | None) -> str:
                 raise JsonLdError("@graph entries must be node objects")
             _node_object(st, ctx, node, inner_graph)
 
+    if "@reverse" in obj:
+        rev = obj["@reverse"]
+        if not isinstance(rev, dict):
+            raise JsonLdError("@reverse must be a map of properties")
+        for rkey, rval in rev.items():
+            if rkey.startswith("@"):
+                raise JsonLdError("keywords are not allowed inside @reverse")
+            rpred = _expand_iri(ctx, rkey, vocab=True)
+            if rpred is None or rpred in _KEYWORDS:
+                continue
+            if rpred.startswith("_:"):
+                rpred = st.bnode(rpred[2:])
+            rdef = dict(ctx.terms.get(rkey, {}))
+            if rdef.pop("reverse", False):
+                # a reverse term inside @reverse double-flips → forward
+                _emit_value(st, ctx, subj, rpred, rval, rdef, graph)
+            else:
+                _emit_reverse(st, ctx, subj, rpred, rval, rdef, graph)
+
     for key, value in obj.items():
         if key.startswith("@"):
-            if key in ("@context", "@id", "@type", "@graph", "@index"):
+            if key in ("@context", "@id", "@type", "@graph", "@index",
+                       "@reverse"):
                 continue
             raise JsonLdError(f"unsupported keyword {key} in node object")
         pred = _expand_iri(ctx, key, vocab=True)
@@ -416,6 +561,10 @@ def _node_object(st: _State, ctx: _Ctx, obj: dict, graph: str | None) -> str:
         if pred.startswith("_:"):
             pred = st.bnode(pred[2:])
         tdef = ctx.terms.get(key, {})
+        if tdef.get("reverse"):
+            rdef = {k: v for k, v in tdef.items() if k != "reverse"}
+            _emit_reverse(st, ctx, subj, pred, value, rdef, graph)
+            continue
         _emit_value(st, ctx, subj, pred, value, tdef, graph)
     return subj
 
@@ -450,8 +599,10 @@ def parse_jsonld(pdf: pd.DataFrame) -> pd.DataFrame:
     ):
         try:
             triples = parse_one(repo, path, content)
-        except (json.JSONDecodeError, JsonLdError, ValueError, TypeError,
-                AttributeError, KeyError) as exc:
+        # Only data errors land on the error channel; implementation
+        # bugs (KeyError/AttributeError/TypeError) must propagate so
+        # the test suite sees them (ADVICE r4 #3).
+        except (json.JSONDecodeError, JsonLdError) as exc:
             rows.append(
                 (None, None, None, None, None, None, None,
                  repo, path, commit, "jsonld", str(exc)))
