@@ -393,6 +393,68 @@ def q_kg_sparql_minus(spark, sf):
     )
 
 
+def q_kg_sparql_path_graphvar(spark, sf):
+    """Property path under GRAPH ?g (r5 — VERDICT r4 #1): owl:sameAs+
+    per named graph. The variable graph rides the path compiler as a
+    key column, so the transitive closure is evaluated independently
+    per graph inside ONE distributed plan (closure joins key on
+    (endpoint, graph) — no per-graph driver loop, no cross-graph
+    leakage). A k-doc chain closes to k(k-1)/2 pairs per graph."""
+    from tripleforge import sparql
+
+    stmts, _ = transform(_link_corpus(spark, sf), BuildConfig(link_entities=False))
+    return sparql.select(
+        stmts,
+        "SELECT ?g (COUNT(*) AS ?n_pairs) WHERE "
+        "{ GRAPH ?g { ?a <" + OWL_SAMEAS + ">+ ?b } } GROUP BY ?g",
+    )
+
+
+def q_kg_sparql_subquery_minus(spark, sf):
+    """Subquery inside MINUS (r5 — VERDICT r4 #1): remove every doc of
+    a source that has at least one long doc; the inner { SELECT
+    DISTINCT } evaluates once and anti-joins the outer solutions."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    return sparql.select(
+        stmts,
+        """
+        SELECT (COUNT(*) AS ?n_docs) WHERE {
+          ?d <urn:p:source> ?s .
+          MINUS {
+            ?d <urn:p:source> ?s .
+            { SELECT DISTINCT ?s WHERE {
+                ?d2 <urn:p:source> ?s . ?d2 <urn:p:nchars> ?c .
+                FILTER(?c > 540) } }
+          }
+        }
+        """,
+    )
+
+
+def q_kg_sparql_optbind(spark, sf):
+    """BIND on outer variables inside OPTIONAL (r5 — VERDICT r4 #2):
+    strict bottom-up scope (§18.2.2.6) — ?s is unbound inside the
+    block, so COALESCE falls through to the block's ?c and STR(?s) is
+    null everywhere; rows never drop."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    return sparql.select(
+        stmts,
+        """
+        SELECT (COUNT(*) AS ?n_rows) (COUNT(?w) AS ?n_w)
+               (COUNT(?t) AS ?n_t) WHERE {
+          ?d <urn:p:source> ?s .
+          OPTIONAL { ?d <urn:p:nchars> ?c . FILTER(?c > 300)
+                     BIND(COALESCE(?s, ?c) AS ?w)
+                     BIND(STR(?s) AS ?t) }
+        }
+        """,
+    )
+
+
 def q_kg_sparql_closure(spark, sf):
     """Transitive closure path (A27 ext, r3): owl:sameAs+ over the
     per-source chain corpus — a k-doc chain closes to k(k-1)/2 ordered
@@ -1136,6 +1198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         # driver-checked in r3 (CORRECTNESS_r03) — fill the remaining
         # window, most-recently-changed subsystems first
+        "kg_sparql_path_graphvar": q_kg_sparql_path_graphvar,
+        "kg_sparql_subquery_minus": q_kg_sparql_subquery_minus,
+        "kg_sparql_optbind": q_kg_sparql_optbind,
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_group_concat": q_kg_group_concat,
         "kg_sparql_expr": q_kg_sparql_expr,
@@ -1278,6 +1343,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source
+        """,
+        "kg_sparql_path_graphvar": """
+            -- per-graph sameAs+ closure: a k-doc chain -> k(k-1)/2 pairs
+            SELECT 'urn:repo:' || source AS g,
+                   CAST(c * (c - 1) / 2 AS BIGINT) AS n_pairs
+            FROM (SELECT source, COUNT(*) AS c FROM documents GROUP BY source)
+            WHERE c > 1
+        """,
+        "kg_sparql_subquery_minus": """
+            SELECT COUNT(*) AS n_docs FROM documents
+            WHERE source NOT IN
+              (SELECT source FROM documents WHERE n_chars > 540)
+        """,
+        "kg_sparql_optbind": """
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(CASE WHEN n_chars > 300 THEN 1 END) AS n_w,
+                   CAST(0 AS BIGINT) AS n_t
+            FROM documents
         """,
         "kg_sparql_closure": """
             -- a k-doc sameAs chain closes transitively to k(k-1)/2 pairs

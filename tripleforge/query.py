@@ -109,6 +109,12 @@ def _leaf_pairs(
                 == F.pmod(F.xxhash64(F.lit(g)), F.lit(n_buckets)).cast("int")
             )
     cols = [F.col("subj").alias("_ps"), F.col("obj").alias("_po")]
+    if _is_var(g):
+        # variable GRAPH term (r5): the graph rides as a _pg column so
+        # every path operator stays graph-local — joins/closures key on
+        # (endpoint, _pg), i.e. the path is evaluated independently per
+        # named graph in ONE distributed plan (no per-graph driver loop)
+        cols.append(F.col("graph").alias("_pg"))
     if carry_meta:
         cols += [
             F.col("obj_kind").alias("_po__kind"),
@@ -139,32 +145,46 @@ def _closure(base: DataFrame, max_iter: int) -> DataFrame:
     diameter ≈ 2^(max_iter-2): effectively any real graph, while an
     adversarial non-converging computation still fails loudly. Every
     round localCheckpoints to truncate lineage (same discipline as
-    connected components, link.py)."""
+    connected components, link.py). A ``_pg`` graph column (variable
+    GRAPH term, r5) joins the composition keys, keeping every closure
+    step graph-local."""
     base = _drop_meta(base).dropDuplicates().localCheckpoint(eager=True)
+    has_g = "_pg" in base.columns
+    gcols = ["_pg"] if has_g else []
     hop = base.select(
-        F.col("_ps").alias("_hs"), F.col("_po").alias("_ho")
+        F.col("_ps").alias("_hs"), F.col("_po").alias("_ho"),
+        *[F.col("_pg").alias("_hg") for _ in gcols],
     ).localCheckpoint(eager=True)
     reached = base
     frontier = base
     for rnd in range(max_iter):
         if rnd < _CLOSURE_LINEAR_ROUNDS:
+            cond = frontier["_po"] == hop["_hs"]
+            if has_g:
+                cond = cond & (frontier["_pg"] == hop["_hg"])
             nxt = (
-                frontier.join(hop, frontier["_po"] == hop["_hs"])
-                .select(frontier["_ps"], hop["_ho"].alias("_po"))
+                frontier.join(hop, cond)
+                .select(frontier["_ps"], hop["_ho"].alias("_po"),
+                        *[frontier["_pg"] for _ in gcols])
                 .dropDuplicates()
             )
         else:
             r2 = reached.select(
-                F.col("_ps").alias("_hs"), F.col("_po").alias("_ho")
+                F.col("_ps").alias("_hs"), F.col("_po").alias("_ho"),
+                *[F.col("_pg").alias("_hg") for _ in gcols],
             )
+            cond = reached["_po"] == r2["_hs"]
+            if has_g:
+                cond = cond & (reached["_pg"] == r2["_hg"])
             nxt = (
-                reached.join(r2, reached["_po"] == r2["_hs"])
-                .select(reached["_ps"], r2["_ho"].alias("_po"))
+                reached.join(r2, cond)
+                .select(reached["_ps"], r2["_ho"].alias("_po"),
+                        *[reached["_pg"] for _ in gcols])
                 .dropDuplicates()
             )
-        new = nxt.join(reached, ["_ps", "_po"], "left_anti").localCheckpoint(
-            eager=True
-        )
+        new = nxt.join(
+            reached, ["_ps", "_po"] + gcols, "left_anti"
+        ).localCheckpoint(eager=True)
         if new.isEmpty():
             return reached
         reached = reached.unionByName(new).localCheckpoint(eager=True)
@@ -176,10 +196,20 @@ def _closure(base: DataFrame, max_iter: int) -> DataFrame:
 
 def _identity_pairs(statements: DataFrame, g: str | None) -> DataFrame:
     """Zero-length path: every term of the (graph-restricted) store
-    connected to itself (SPARQL 1.1 §18.4 ZeroLengthPath domain)."""
+    connected to itself (SPARQL 1.1 §18.4 ZeroLengthPath domain). With
+    a variable graph term the domain is per-graph (``_pg`` column)."""
     df = statements
     if g is not None and not _is_var(g):
         df = df.where(F.col("graph") == F.lit(g))
+    if _is_var(g):
+        nodes = df.select(
+            F.col("subj").alias("_n"), F.col("graph").alias("_pg")
+        ).unionByName(
+            df.select(F.col("obj").alias("_n"), F.col("graph").alias("_pg"))
+        ).dropDuplicates()
+        return nodes.select(
+            F.col("_n").alias("_ps"), F.col("_n").alias("_po"), F.col("_pg")
+        )
     nodes = df.select(F.col("subj").alias("_n")).unionByName(
         df.select(F.col("obj").alias("_n"))
     ).dropDuplicates()
@@ -212,17 +242,19 @@ def path_pairs(
         # joins, no shuffle.
         fwd, inv = ast[1], ast[2]
         df = statements
-        if g is not None and not _is_var(g):
+        gv = _is_var(g)
+        if g is not None and not gv:
             df = df.where(F.col("graph") == F.lit(g))
             if n_buckets and "graph_bucket" in df.columns:
                 df = df.where(
                     F.col("graph_bucket")
                     == F.pmod(F.xxhash64(F.lit(g)), F.lit(n_buckets)).cast("int")
                 )
+        gcol = [F.col("graph").alias("_pg")] if gv else []
         arms = []
         if fwd or not inv:
             fdf = df.where(~F.col("pred").isin(fwd)) if fwd else df
-            cols = [F.col("subj").alias("_ps"), F.col("obj").alias("_po")]
+            cols = [F.col("subj").alias("_ps"), F.col("obj").alias("_po"), *gcol]
             if carry_meta and not inv:
                 cols += [
                     F.col("obj_kind").alias("_po__kind"),
@@ -233,7 +265,9 @@ def path_pairs(
         if inv:
             idf = df.where(~F.col("pred").isin(inv))
             arms.append(
-                idf.select(F.col("obj").alias("_ps"), F.col("subj").alias("_po"))
+                idf.select(
+                    F.col("obj").alias("_ps"), F.col("subj").alias("_po"), *gcol
+                )
             )
         out = arms[0]
         for a in arms[1:]:
@@ -244,9 +278,11 @@ def path_pairs(
             statements, ast[1], g=g, carry_meta=False,
             n_buckets=n_buckets, max_iter=max_iter,
         )
-        return _drop_meta(inner).select(
-            F.col("_po").alias("_ps"), F.col("_ps").alias("_po")
-        )
+        inner = _drop_meta(inner)
+        cols = [F.col("_po").alias("_ps"), F.col("_ps").alias("_po")]
+        if "_pg" in inner.columns:
+            cols.append(F.col("_pg"))
+        return inner.select(*cols)
     if kind == "seq":
         parts = ast[1]
         out = path_pairs(
@@ -261,7 +297,10 @@ def path_pairs(
             )
             mid = _drop_meta(out).withColumnRenamed("_po", "_mid")
             rhs = rhs.withColumnRenamed("_ps", "_mid")
-            out = mid.join(rhs, "_mid").drop("_mid")
+            keys = ["_mid"]
+            if "_pg" in mid.columns and "_pg" in rhs.columns:
+                keys.append("_pg")  # steps of one path stay in one graph
+            out = mid.join(rhs, keys).drop("_mid")
         return out
     if kind == "alt":
         arms = [
@@ -325,7 +364,11 @@ def path_scan(
     else:
         pairs = _drop_meta(pairs.where(F.col("_po") == F.lit(pt.o))).drop("_po")
     if _is_var(pt.g):
-        raise ValueError("variable GRAPH terms are not supported with paths")
+        gv = pt.g[1:]
+        if gv in pairs.columns:  # GRAPH ?g { ?g path ?o } corner
+            pairs = pairs.where(F.col("_pg") == F.col(gv)).drop("_pg")
+        else:
+            pairs = pairs.withColumnRenamed("_pg", gv)
     return pairs
 
 
@@ -415,7 +458,8 @@ def bgp(
     # one pattern (the legacy per-Pattern optional flag) reduce to the
     # old single left join.
     blocks = [[pt] for pt in optionals] + [
-        b if isinstance(b, tuple) else list(b) for b in (optional_groups or [])
+        b if isinstance(b, (tuple, DataFrame)) else list(b)
+        for b in (optional_groups or [])
     ]
     for block in blocks:
         # an optional group may carry a transform (FILTER/BIND scoped
@@ -431,7 +475,11 @@ def bgp(
                 block, transform, join_cond = block
             else:
                 block, transform = block
-        if len(block) == 1:
+        if isinstance(block, DataFrame):
+            # pre-evaluated optional unit (r5: OPTIONAL blocks holding
+            # subqueries are compiled to a DataFrame by the SPARQL layer)
+            sub = block
+        elif len(block) == 1:
             pt = block[0]
             if isinstance(pt.p, tuple):
                 sub = path_scan(

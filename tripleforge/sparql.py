@@ -159,6 +159,11 @@ def _apply_ops(
     the shapes Catalyst executes as broadcast/shuffled anti and semi
     hash joins."""
     for op in ops:
+        if sol is None and op[0] != "subquery":
+            raise SparqlError(
+                "a group with no triple patterns must start with a "
+                "{ SELECT … } subquery"
+            )
         if op[0] == "bind":
             _, var, tree = op
             sol = _bind_column(sol, var, tree)
@@ -211,26 +216,39 @@ def _apply_ops(
         elif op[0] in ("minus", "exists"):
             if statements is None:
                 raise SparqlError(f"{op[0].upper()} is not available here")
+            # op shapes (r5 adds the block-scoped op list ``bops``):
+            #   ("minus",  block, bops[, gexcl])
+            #   ("exists", block, positive, bops[, gexcl])
             block = op[1]
-            sub = bgp(
-                statements, block, allow_cartesian=allow_cartesian,
-                n_buckets=n_buckets,
+            if op[0] == "minus":
+                bops = op[2] if len(op) > 2 else []
+                gexcl = op[3] if len(op) > 3 else []
+            else:
+                bops = op[3] if len(op) > 3 else []
+                gexcl = op[4] if len(op) > 4 else []
+            if block:
+                sub = bgp(
+                    statements, block, allow_cartesian=allow_cartesian,
+                    carry_meta=_ops_need_meta(bops), n_buckets=n_buckets,
+                )
+            else:
+                sub = None  # subquery-only block seeds from its first op
+            sub = _apply_ops(
+                sub, bops, statements=statements,
+                allow_cartesian=allow_cartesian, n_buckets=n_buckets,
             )
             # dataset-view evaluation appends the block's graph vars as
             # a trailing element: exclude marker-relabelled default rows
             # from their bindings (GRAPH ?var ranges over NAMED graphs)
-            gexcl = (
-                op[2] if op[0] == "minus" and len(op) > 2
-                else op[3] if op[0] == "exists" and len(op) > 3
-                else []
-            )
             if gexcl:
                 from pyspark.sql import functions as F
 
                 for v in gexcl:
                     if v in sub.columns:
                         sub = sub.where(F.col(v) != _DATASET_DEFAULT_G)
-            shared = [v for v in sub.columns if v in sol.columns]
+            shared = [
+                v for v in sub.columns if v in sol.columns and "__" not in v
+            ]
             if op[0] == "minus":
                 # SPARQL §8.3: solutions sharing NO variable with the
                 # MINUS side are kept (disjoint-domain MINUS is a no-op)
@@ -252,7 +270,88 @@ def _apply_ops(
 
 
 
-def _optional_entry(block: list, bops: list[tuple] | None):
+def _subquery_out_vars(parsed: tuple) -> set[str]:
+    """The variables a parsed ``{ SELECT … }`` subquery projects —
+    what joins (and is visible) in the enclosing group."""
+    projected, groups, mods, _distinct = parsed
+    if projected:
+        out: set[str] = set()
+        for it in projected:
+            if it[0] == "var":
+                out.add(it[1])
+            elif it[0] == "agg":
+                out.add(it[4])
+            elif it[0] == "exprproj":
+                out.add(it[1])
+        return out
+    # SELECT *: every binding of the subquery's WHERE clause
+    out = set()
+    for patterns, ops, optional_blocks in groups:
+        for pt in patterns:
+            out |= pt.variables
+        for op in ops:
+            if op[0] == "bind":
+                out.add(op[1])
+            elif op[0] == "in":
+                out.add(op[1])
+            elif op[0] == "values_multi":
+                out |= set(op[1])
+            elif op[0] == "subquery":
+                out |= _subquery_out_vars(op[1])
+        for entry in optional_blocks:
+            blk = entry[0] if isinstance(entry, tuple) else entry
+            for pt in blk:
+                out |= pt.variables
+    out |= {g[1] if isinstance(g, tuple) else g for g in mods["group_by"]}
+    return out
+
+
+def _substitute_unbound(tree, local: set[str]):
+    """Strict bottom-up OPTIONAL scope for BIND (§18.2.2.6: the group
+    translates to Extend over the BLOCK's solutions, so variables bound
+    only on the left of the LeftJoin are unbound inside the expression;
+    an erroring Extend leaves the target unbound but keeps the row).
+    Compiled by substituting outer-only variable references with a null
+    term — Catalyst's null propagation matches SPARQL's error→unbound
+    for the value-level builtins; BOUND(outer) folds to false."""
+    if not isinstance(tree, tuple):
+        return tree
+    if tree[0] == "var":
+        return tree if tree[1] in local else ("unbound",)
+    if tree[0] == "fn" and tree[2] and isinstance(tree[2], list):
+        args = tree[2]
+        if (
+            args
+            and isinstance(args[0], tuple)
+            and args[0][0] == "var"
+            and args[0][1] not in local
+        ):
+            if tree[1] == "BOUND":
+                return ("boollit", False)
+            if tree[1] in ("LANG", "DATATYPE", "ISIRI", "ISURI",
+                           "ISLITERAL", "ISBLANK"):
+                # term-metadata of an unbound variable is an ERROR →
+                # the extended variable stays unbound (null)
+                return ("unbound",)
+    out = [tree[0]]
+    for a in tree[1:]:
+        if isinstance(a, tuple):
+            out.append(_substitute_unbound(a, local))
+        elif isinstance(a, list):
+            out.append([_substitute_unbound(x, local) for x in a])
+        else:
+            out.append(a)
+    return tuple(out)
+
+
+def _optional_entry(
+    block: list,
+    bops: list[tuple] | None,
+    statements: DataFrame | None = None,
+    allow_cartesian: bool = False,
+    n_buckets: int | None = None,
+    carry_meta: bool = False,
+):
     """OPTIONAL block + its scoped ops → a bgp ``optional_groups``
     entry: ``(patterns, transform)`` when every FILTER references only
     block-local variables (the common case — applied to the sub-BGP
@@ -260,9 +359,12 @@ def _optional_entry(block: list, bops: list[tuple] | None):
     or ``(patterns, transform, leftjoin_cond)`` when a FILTER also
     references LEFT-hand variables: SPARQL §18.2.2.3 makes such a
     filter part of the LeftJoin CONDITION, evaluated per candidate
-    merge with a failing left row kept null-extended (r4 — closes the
-    previously-documented deviation; BIND remains block-local-only,
-    rejecting loudly on outer references)."""
+    merge with a failing left row kept null-extended (r4). r5 lifts the
+    two remaining rejections: a BIND referencing outer variables
+    evaluates with strict bottom-up scope (outer refs unbound — see
+    :func:`_substitute_unbound`), and ``{ SELECT … }`` subqueries
+    inside the block pre-evaluate the whole unit into a DataFrame
+    (bgp accepts it in place of a pattern list)."""
     if bops is None:
         return block
     local: set[str] = set()
@@ -272,6 +374,9 @@ def _optional_entry(block: list, bops: list[tuple] | None):
     deferred: list[tuple] = []
     for op in bops:
         if op[0] == "bind":
+            vars_ = _expr_vars(op[2])
+            if not vars_ <= local:
+                op = ("bind", op[1], _substitute_unbound(op[2], local))
             pre.append(op)
             local.add(op[1])
         elif op[0] == "expr":
@@ -281,11 +386,17 @@ def _optional_entry(block: list, bops: list[tuple] | None):
             # injected by the dataset rewrite (graph-marker exclusion);
             # always block-local by construction
             pre.append(op)
-        else:  # pragma: no cover - parser only emits expr/bind here
+        elif op[0] == "subquery":
+            pre.append(op)
+            local |= _subquery_out_vars(op[1])
+        elif op[0] == "in":
+            pre.append(op)
+            local.add(op[1])
+        elif op[0] == "values_multi":
+            pre.append(op)
+            local |= set(op[1])
+        else:  # pragma: no cover - parser routes only these op kinds
             raise SparqlError(f"unsupported op inside OPTIONAL: {op[0]}")
-    transform = _optional_ops_transform(pre)
-    if not deferred:
-        return (block, transform)
 
     def leftjoin_cond(bound: set[str]):
         col = None
@@ -294,6 +405,28 @@ def _optional_entry(block: list, bops: list[tuple] | None):
             col = c if col is None else col & c
         return col
 
+    if any(op[0] == "subquery" for op in pre):
+        if statements is None:
+            raise SparqlError("subqueries inside OPTIONAL need a store")
+        sub = (
+            bgp(
+                statements, block, allow_cartesian=allow_cartesian,
+                carry_meta=carry_meta, n_buckets=n_buckets,
+            )
+            if block
+            else None
+        )
+        sub = _apply_ops(
+            sub, pre, statements=statements,
+            allow_cartesian=allow_cartesian, n_buckets=n_buckets,
+        )
+        if not deferred:
+            return (sub, None)
+        return (sub, None, leftjoin_cond)
+
+    transform = _optional_ops_transform(pre)
+    if not deferred:
+        return (block, transform)
     return (block, transform, leftjoin_cond)
 
 
@@ -311,7 +444,11 @@ def _optional_ops_transform(bops: list[tuple]):
             elif op[0] == "bind":
                 _, alias, tree = op
                 out = _bind_column(out, alias, tree)
-            else:  # pragma: no cover - parser only emits expr/bind here
+            elif op[0] in ("in", "values_multi"):
+                # block-scoped VALUES (r5) — same compilation as the
+                # group-level op, applied to the sub-BGP pre-join
+                out = _apply_ops(out, [op])
+            else:  # pragma: no cover - parser routes only these kinds
                 raise SparqlError(f"unsupported op inside OPTIONAL: {op[0]}")
         return out
 
@@ -346,7 +483,12 @@ def _solutions(
                 statements, patterns, allow_cartesian=allow_cartesian,
                 carry_meta=meta, n_buckets=n_buckets,
                 optional_groups=[
-                    _optional_entry(e[0], e[1]) if isinstance(e, tuple) else e
+                    _optional_entry(
+                        e[0], e[1], statements=statements,
+                        allow_cartesian=allow_cartesian,
+                        n_buckets=n_buckets, carry_meta=meta,
+                    )
+                    if isinstance(e, tuple) else e
                     for e in optional_blocks
                 ],
             )

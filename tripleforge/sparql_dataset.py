@@ -87,6 +87,22 @@ def _dataset_rewrite_group(grp: tuple) -> tuple:
     patterns match the reserved default marker; GRAPH ?var patterns
     additionally filter the marker out of the variable's bindings."""
     patterns, ops, optional_blocks = grp
+
+    def rewrite_subquery(parsed: tuple) -> tuple:
+        projected, sgroups, smods, sdistinct = parsed
+        return (
+            projected,
+            [_dataset_rewrite_group(g) for g in sgroups],
+            smods,
+            sdistinct,
+        )
+
+    def rewrite_bops(bops: list[tuple]) -> list[tuple]:
+        return [
+            ("subquery", rewrite_subquery(o[1])) if o[0] == "subquery" else o
+            for o in bops
+        ]
+
     new_patterns = [_dataset_pattern(p) for p in patterns]
     new_ops: list[tuple] = []
     for op in ops:
@@ -95,31 +111,26 @@ def _dataset_rewrite_group(grp: tuple) -> tuple:
             # (ADVICE r3: a default-graph triple must not bind GRAPH
             # ?var and trigger MINUS removal / satisfy EXISTS — §13.3
             # restricts GRAPH ?var to named graphs); the exclusion list
-            # rides as a trailing op element applied to the sub-BGP
+            # rides as a trailing op element applied to the sub-BGP.
+            # r5 op shape: ("minus", block, bops[, gexcl])
             bg = sorted(
                 {p.g[1:] for p in op[1] if p.g is not None and p.g.startswith("?")}
             )
-            new_ops.append(("minus", [_dataset_pattern(p) for p in op[1]], bg))
-        elif op[0] == "exists":
-            bg = sorted(
-                {p.g[1:] for p in op[1] if p.g is not None and p.g.startswith("?")}
-            )
+            bops = rewrite_bops(op[2]) if len(op) > 2 else []
             new_ops.append(
-                ("exists", [_dataset_pattern(p) for p in op[1]], op[2], bg)
+                ("minus", [_dataset_pattern(p) for p in op[1]], bops, bg)
+            )
+        elif op[0] == "exists":
+            # r5 op shape: ("exists", block, positive, bops[, gexcl])
+            bg = sorted(
+                {p.g[1:] for p in op[1] if p.g is not None and p.g.startswith("?")}
+            )
+            bops = rewrite_bops(op[3]) if len(op) > 3 else []
+            new_ops.append(
+                ("exists", [_dataset_pattern(p) for p in op[1]], op[2], bops, bg)
             )
         elif op[0] == "subquery":
-            projected, sgroups, smods, sdistinct = op[1]
-            new_ops.append(
-                (
-                    "subquery",
-                    (
-                        projected,
-                        [_dataset_rewrite_group(g) for g in sgroups],
-                        smods,
-                        sdistinct,
-                    ),
-                )
-            )
+            new_ops.append(("subquery", rewrite_subquery(op[1])))
         else:
             new_ops.append(op)
     new_opts = []
@@ -134,6 +145,8 @@ def _dataset_rewrite_group(grp: tuple) -> tuple:
         block_gvars = sorted(
             {p.g[1:] for p in block if p.g is not None and p.g.startswith("?")}
         )
+        if bops is not None:
+            bops = rewrite_bops(bops)
         if block_gvars:
             bops = list(bops) if bops is not None else []
             for v in block_gvars:

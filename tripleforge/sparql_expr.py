@@ -332,6 +332,11 @@ def _compile_expr(tree: tuple, bound: set[str]):
     kind = tree[0]
     if kind == "var":
         return _var_col(tree[1], bound), "term"
+    if kind == "unbound":
+        # substituted outer-variable reference inside an OPTIONAL-scoped
+        # BIND (strict bottom-up scope, sparql._substitute_unbound):
+        # evaluates as null, propagating SPARQL's error→unbound
+        return F.lit(None).cast("string"), "term"
     if kind == "num":
         v = tree[1]
         return F.lit(v), "num"

@@ -306,7 +306,9 @@ def _parse_group_pattern(
                 raise SparqlError(f"expected '{{' after {kind}")
             block: list[Pattern] = []
             triples_until_close(graph_term, block, sub=kind, sub_ops=collect_ops)
-            if not block:
+            if not block and not (
+                collect_ops and any(o[0] == "subquery" for o in collect_ops)
+            ):
                 raise SparqlError(f"empty {kind} block")
             return block
 
@@ -342,13 +344,16 @@ def _parse_group_pattern(
                     continue
                 if t == ("PUNCT", "{"):
                     # subquery: { SELECT … } joins into the group on its
-                    # projected variables (SPARQL 1.1 §12)
+                    # projected variables (SPARQL 1.1 §12) — allowed at
+                    # the top level AND (r5) inside MINUS / EXISTS /
+                    # OPTIONAL blocks, where it lands on the block's op
+                    # list and is evaluated within the sub-group
                     nxt = c.toks[c.i + 1] if c.i + 1 < len(c.toks) else None
                     if not _kw(nxt, "SELECT"):
                         raise SparqlError(
                             "nested group must be a { SELECT … } subquery"
                         )
-                    if sub:
+                    if sub and sub_ops is None:
                         raise SparqlError(f"subquery inside {sub} is not supported")
                     c.next()  # '{'
                     depth, start = 1, c.i
@@ -361,7 +366,8 @@ def _parse_group_pattern(
                     inner = _Cursor(c.toks[start : c.i - 1])
                     inner.prefixes = dict(c.prefixes)
                     inner.base = c.base
-                    ops.append(("subquery", _parse_select_cursor(inner)))
+                    sink_ops = sub_ops if sub_ops is not None else ops
+                    sink_ops.append(("subquery", _parse_select_cursor(inner)))
                     continue
                 if t[0] == "GRAPHKW" or _kw(t, "GRAPH"):
                     if graph_term is not None:
@@ -397,15 +403,17 @@ def _parse_group_pattern(
                     if sub:
                         raise SparqlError(f"MINUS inside {sub} is not supported")
                     c.next()
-                    ops.append(("minus", sub_block(graph_term, "MINUS")))
+                    bops: list[tuple] = []
+                    block = sub_block(graph_term, "MINUS", collect_ops=bops)
+                    ops.append(("minus", block, bops))
                     continue
                 if _kw(t, "FILTER"):
-                    if sub == "OPTIONAL" and sub_ops is not None:
+                    if sub and sub_ops is not None:
                         c.next()
                         nt = c.peek()
                         if _kw(nt, "EXISTS") or _kw(nt, "NOT"):
                             raise SparqlError(
-                                "FILTER [NOT] EXISTS inside OPTIONAL is not supported"
+                                f"FILTER [NOT] EXISTS inside {sub} is not supported"
                             )
                         sub_ops.append(("expr", _parse_constraint(c)))
                         continue
@@ -417,18 +425,24 @@ def _parse_group_pattern(
                     nt = c.peek()
                     if _kw(nt, "EXISTS"):
                         c.next()
-                        ops.append(("exists", sub_block(graph_term, "EXISTS"), True))
+                        bops = []
+                        block = sub_block(graph_term, "EXISTS", collect_ops=bops)
+                        ops.append(("exists", block, True, bops))
                         continue
                     if _kw(nt, "NOT"):
                         c.next()
                         if not _kw(c.next(), "EXISTS"):
                             raise SparqlError("expected EXISTS after NOT")
-                        ops.append(("exists", sub_block(graph_term, "NOT EXISTS"), False))
+                        bops = []
+                        block = sub_block(
+                            graph_term, "NOT EXISTS", collect_ops=bops
+                        )
+                        ops.append(("exists", block, False, bops))
                         continue
                     ops.append(("expr", _parse_constraint(c)))
                     continue
                 if _kw(t, "BIND"):
-                    if sub == "OPTIONAL" and sub_ops is not None:
+                    if sub and sub_ops is not None:
                         parse_bind(sub_ops)
                         continue
                     if sub:
@@ -436,6 +450,11 @@ def _parse_group_pattern(
                     parse_bind(ops)
                     continue
                 if _kw(t, "VALUES"):
+                    if sub and sub_ops is None:
+                        raise SparqlError(f"VALUES inside {sub} is not supported")
+                    # r5: VALUES inside MINUS/EXISTS/OPTIONAL scopes to
+                    # the block (previously it leaked to the outer group)
+                    vsink = sub_ops if sub_ops is not None else ops
                     c.next()
                     if c.peek() == ("PUNCT", "("):
                         # multi-variable form: VALUES (?a ?b) { (x y)
@@ -469,7 +488,7 @@ def _parse_group_pattern(
                         c.next()
                         if not rows:
                             raise SparqlError("empty VALUES block")
-                        ops.append(("values_multi", vnames, rows))
+                        vsink.append(("values_multi", vnames, rows))
                         continue
                     k, v = c.next()
                     if k != "VAR":
@@ -497,7 +516,7 @@ def _parse_group_pattern(
                     if vals == []:
                         raise SparqlError("empty VALUES block")
                     if vals is not None:
-                        ops.append(("in", var, vals))
+                        vsink.append(("in", var, vals))
                     continue
                 parse_triples_same_subject(graph_term, sink)
 

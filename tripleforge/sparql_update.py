@@ -461,7 +461,11 @@ def execute_update(
         sol = bgp(
             store, patterns, carry_meta=True, n_buckets=nb,
             optional_groups=[
-                _optional_entry(e[0], e[1]) if isinstance(e, tuple) else e
+                _optional_entry(
+                    e[0], e[1], statements=store, n_buckets=nb,
+                    carry_meta=True,
+                )
+                if isinstance(e, tuple) else e
                 for e in opt_blocks
             ],
         )
