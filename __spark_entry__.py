@@ -285,6 +285,47 @@ def q_kg_trig(spark, sf):
     return stmts.groupBy("graph").agg(F.count(F.lit(1)).alias("n_triples"))
 
 
+def _trix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TriX files (r5): per doc, one named <graph> with
+    two triples (typed literal + uri object) plus one triple in an
+    anonymous <graph> (default graph → injected urn:repo:<source>
+    context) — exercises the TriX term grammar and graph precedence."""
+    docs = read_table(spark, sf_dir, "documents")
+    content = F.format_string(
+        '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">'
+        "<graph><uri>urn:graph:%s</uri>"
+        "<triple><uri>urn:doc:%d</uri><uri>urn:p:nchars</uri>"
+        '<typedLiteral datatype="' + XSD_INT + '">%d</typedLiteral></triple>'
+        "<triple><uri>urn:doc:%d</uri><uri>urn:p:source</uri>"
+        "<uri>urn:src:%s</uri></triple>"
+        "</graph><graph>"
+        "<triple><uri>urn:doc:%d</uri><uri>urn:p:default</uri>"
+        "<plainLiteral xml:lang=\"en\">d</plainLiteral></triple>"
+        "</graph></TriX>",
+        F.col("source"),
+        F.col("doc_id"),
+        F.col("n_chars"),
+        F.col("doc_id"),
+        F.col("source"),
+        F.col("doc_id"),
+    )
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.format_string("docs/doc_%d.trix", F.col("doc_id")).alias("path"),
+        F.md5(F.col("source")).alias("commit"),
+        F.lit("TriX").alias("lang"),
+        content.alias("content"),
+    )
+
+
+def q_kg_trix(spark, sf):
+    """A3 + TriX (r5): full build over TriX files → triples per graph.
+    Named-graph triples land in urn:graph:<source>; the anonymous-graph
+    triple gets the injected urn:repo:<source> context (A19)."""
+    stmts, _ = transform(_trix_corpus(spark, sf), BuildConfig(link_entities=False))
+    return stmts.groupBy("graph").agg(F.count(F.lit(1)).alias("n_triples"))
+
+
 def _jsonld_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic JSON-LD files (A-family r4): per doc, a named
     @graph node holding three triples (term mapping, @type coercion to
@@ -1227,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_serialize": q_kg_serialize,
         "kg_delete_analog": q_kg_delete_analog,
         "kg_trig": q_kg_trig,
+        "kg_trix": q_kg_trix,
         "kg_sha256": q_kg_sha256,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_fingerprint,
@@ -1471,6 +1513,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "kg_trig": """
+            SELECT 'urn:graph:' || source AS graph,
+                   2 * COUNT(*) AS n_triples
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'urn:repo:' || source AS graph,
+                   COUNT(*) AS n_triples
+            FROM documents GROUP BY source
+        """,
+        "kg_trix": """
             SELECT 'urn:graph:' || source AS graph,
                    2 * COUNT(*) AS n_triples
             FROM documents GROUP BY source

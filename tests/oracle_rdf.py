@@ -217,6 +217,56 @@ def parse_corpus_rows(rows, canonicalize: bool = True):
         is_trig = (lang or "").lower() == "trig" or path.endswith(".trig")
         if is_ttl or is_trig:
             is_nt = True
+        is_trix = (lang or "").lower() == "trix" or path.endswith(".trix")
+        if is_trix:
+            # independent interpretation of the generated TriX shape
+            # (named <graph> of <triple>s) — a plain ElementTree walk,
+            # not the engine kernel; invalid XML fails whole-document on
+            # both sides
+            import xml.etree.ElementTree as _ET
+
+            try:
+                root = _ET.fromstring(content)
+            except _ET.ParseError:
+                continue
+            ns = "{http://www.w3.org/2004/03/trix/trix-1/}"
+            for gel in root:
+                children = list(gel)
+                graph = None
+                start = 0
+                if children and children[0].tag == ns + "uri":
+                    graph = (children[0].text or "").strip()
+                    start = 1
+                for tel in children[start:]:
+                    terms = []
+                    for t in tel:
+                        if t.tag == ns + "uri":
+                            val = (t.text or "").strip()
+                            terms.append((val, "iri", None, None))
+                        elif t.tag == ns + "plainLiteral":
+                            lg = t.attrib.get(
+                                "{http://www.w3.org/XML/1998/namespace}lang"
+                            )
+                            if lg:
+                                terms.append((t.text or "", "literal",
+                                              RDF + "langString", lg.lower()))
+                            else:
+                                terms.append((t.text or "", "literal",
+                                              XSD + "string", None))
+                        elif t.tag == ns + "typedLiteral":
+                            terms.append((t.text or "", "literal",
+                                          t.attrib["datatype"], None))
+                    (s, _, _, _), (p, _, _, _), (o, okind, odt, olang) = terms
+                    if canonicalize:
+                        s = _norm_iri(s)
+                        p = _norm_iri(p)
+                        if okind == "iri":
+                            o = _norm_iri(o)
+                        elif odt and olang is None:
+                            o = _canon_lit(o, odt)
+                    quads.add((graph or ("urn:repo:" + repo), s, p, o,
+                               okind, odt, olang))
+            continue
         is_jsonld = (lang or "").lower() == "json-ld" or path.endswith(".jsonld")
         if is_jsonld:
             # independent interpretation of the generated JSON-LD shape

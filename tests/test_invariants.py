@@ -82,6 +82,13 @@ def test_pr_gate_vs_oracle(spark):
                    formats=("nt", "jsonld", "nq"), dup_rate=0.1),
         CorpusSpec(n_repos=4, files_per_repo=4, stmts_per_file=20,
                    formats=("jsonld",), error_rate=0.2),
+        # TriX (r5): clean mixed corpus AND error-injected corpus — a
+        # malformed TriX file fails whole-document on BOTH sides
+        # (ET.fromstring in the oracle, the parse kernel in the engine)
+        CorpusSpec(n_repos=5, files_per_repo=4, stmts_per_file=25,
+                   formats=("nt", "trix", "nq"), dup_rate=0.1),
+        CorpusSpec(n_repos=4, files_per_repo=4, stmts_per_file=20,
+                   formats=("trix",), error_rate=0.2),
     ]
     for spec in specs:
         rows = generate_corpus(spec)

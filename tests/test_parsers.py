@@ -382,3 +382,68 @@ def test_jsonld_implementation_bugs_propagate(spark):
         except KeyError:
             raised = True
     assert raised
+
+
+def test_trix_golden(spark):
+    """TriX golden file (r5): named + anonymous graphs, uri/id terms,
+    plain (lang-tagged, lowercased) and typed literals; the anonymous
+    graph falls back to the injected urn:repo: context (A19)."""
+    stmts, errors = _parse(spark, "basic.trix", "TriX")
+    assert errors.count() == 0
+    got = _tuples(stmts)
+    b1 = _skolem("org/r1", "data/basic.trix", "b1")
+    g1 = "http://ex.org/g1"
+    g_repo = "urn:repo:org/r1"
+    expected = {
+        (g1, "http://ex.org/s1", "http://ex.org/p", "http://ex.org/o1", "iri", None, None),
+        (g1, "http://ex.org/s1", "http://ex.org/name", "Alice", "literal", RDF_LANGSTRING, "en"),
+        # raw lexical preserved at parse; canonicalization is stage A11
+        (g1, "http://ex.org/s2", "http://ex.org/age", "007", "literal", XSD_INTEGER, None),
+        (g_repo, b1, "http://ex.org/p", "plain", "literal", XSD_STRING, None),
+        (g_repo, "http://ex.org/s3", "http://ex.org/knows", b1, "iri", None, None),
+    }
+    assert got == expected
+
+
+def test_trix_error_channel(spark):
+    """Invalid XML / invalid RDF shapes land on the error channel with
+    document granularity; good files in the same batch survive."""
+    from tripleforge.schema import CORPUS as _CORPUS
+
+    ok = ('<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/"><graph>'
+          "<triple><uri>http://x/s</uri><uri>http://x/p</uri>"
+          "<plainLiteral>v</plainLiteral></triple></graph></TriX>")
+    rows = [
+        ("r", "a.trix", "c0", "TriX", "<TriX><graph><broken"),
+        ("r", "b.trix", "c0", "TriX",
+         '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/"><graph>'
+         "<triple><plainLiteral>lit-subject</plainLiteral>"
+         "<uri>http://x/p</uri><uri>http://x/o</uri></triple></graph></TriX>"),
+        ("r", "c.trix", "c0", "TriX",
+         '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/"><graph>'
+         "<triple><uri>http://x/s</uri><uri>http://x/p</uri></triple>"
+         "</graph></TriX>"),
+        ("r", "d.trix", "c0", "TriX", ok),
+    ]
+    corpus = with_format(spark.createDataFrame(rows, CORPUS))
+    stmts, errors = split_errors(parse_corpus(corpus))
+    assert stmts.count() == 1
+    errs = {e.src_path: e.error for e in errors.collect()}
+    assert set(errs) == {"a.trix", "b.trix", "c.trix"}
+    assert "literal subjects" in errs["b.trix"]
+    assert "expected 3" in errs["c.trix"]
+
+
+def test_multiformat_with_trix(spark):
+    spec = CorpusSpec(
+        n_repos=3, files_per_repo=6, stmts_per_file=10,
+        formats=("nt", "nq", "ttl", "rdfxml", "jsonld", "trix"),
+    )
+    corpus = with_format(corpus_df(spark, spec))
+    stmts, errors = split_errors(parse_corpus(corpus))
+    assert errors.count() == 0
+    assert {r.parser for r in stmts.select("parser").distinct().collect()} == {
+        "nt", "nq", "ttl", "rdfxml", "jsonld", "trix",
+    }
+    per_file = stmts.groupBy("src_path", "src_repo").count().collect()
+    assert all(r["count"] == 10 for r in per_file)

@@ -54,7 +54,7 @@ def _commit_of(repo: str, path: str) -> str:
 
 _EXT = {
     "nt": "nt", "nq": "nq", "ttl": "ttl", "trig": "trig",
-    "rdfxml": "rdf", "jsonld": "jsonld",
+    "rdfxml": "rdf", "jsonld": "jsonld", "trix": "trix",
 }
 _LANG = {
     "nt": "N-Triples",
@@ -63,6 +63,7 @@ _LANG = {
     "trig": "TriG",
     "rdfxml": "RDF/XML",
     "jsonld": "JSON-LD",
+    "trix": "TriX",
 }
 
 
@@ -148,6 +149,8 @@ def generate_corpus(spec: CorpusSpec) -> list[tuple[str, str, str, str, str]]:
                 content = _nt_to_rdfxml(lines)
             elif fmt == "jsonld":
                 content = _nt_to_jsonld(lines)
+            elif fmt == "trix":
+                content = _nt_to_trix(lines, f"http://example.org/graph/{repo}")
             else:
                 content = "\n".join(lines) + "\n"
             rows.append((repo, path, _commit_of(repo, path), _LANG[fmt], content))
@@ -232,6 +235,45 @@ def _nt_to_jsonld(nt_lines: list[str]) -> str:
     )
     if bad:
         doc = "".join(bad) + doc  # leading junk → invalid JSON → error
+    return doc
+
+
+def _nt_to_trix(nt_lines: list[str], graph: str) -> str:
+    """Equivalent TriX doc: one named <graph> holding a <triple> per
+    good line (quad context == the NQ/TriG variants' graph). Injected
+    error lines prepend raw junk → invalid XML → the whole file lands
+    on the error channel (XML's document-granularity failure model)."""
+    import re as _re
+
+    pat = _re.compile(
+        r'^<([^>]*)> <([^>]*)> (?:<([^>]*)>|"((?:[^"\\]|\\.)*)"'
+        r"(?:\^\^<([^>]*)>|@([A-Za-z\-]+))?) \.$"
+    )
+    items = []
+    bad = []
+    for ln in nt_lines:
+        m = pat.match(ln)
+        if not m:
+            bad.append(ln)
+            continue
+        s, p, o_iri, o_lit, o_dt, o_lang = m.groups()
+        if o_iri is not None:
+            obj = f"<uri>{_x(o_iri)}</uri>"
+        elif o_dt:
+            obj = f'<typedLiteral datatype="{_x(o_dt)}">{_x(o_lit)}</typedLiteral>'
+        elif o_lang:
+            obj = f'<plainLiteral xml:lang="{o_lang}">{_x(o_lit)}</plainLiteral>'
+        else:
+            obj = f"<plainLiteral>{_x(o_lit)}</plainLiteral>"
+        items.append(
+            f"<triple><uri>{_x(s)}</uri><uri>{_x(p)}</uri>{obj}</triple>"
+        )
+    doc = (
+        '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">'
+        f"<graph><uri>{_x(graph)}</uri>" + "".join(items) + "</graph></TriX>"
+    )
+    if bad:
+        doc = "".join(bad) + doc
     return doc
 
 

@@ -18,6 +18,7 @@ FORMAT_TTL = "ttl"
 FORMAT_TRIG = "trig"
 FORMAT_RDFXML = "rdfxml"
 FORMAT_JSONLD = "jsonld"
+FORMAT_TRIX = "trix"
 FORMAT_SKIP = "skip"
 
 _LANG_MAP = {
@@ -35,6 +36,8 @@ _LANG_MAP = {
     "json-ld": FORMAT_JSONLD,
     "jsonld": FORMAT_JSONLD,
     "application/ld+json": FORMAT_JSONLD,
+    "trix": FORMAT_TRIX,
+    "application/trix": FORMAT_TRIX,
 }
 
 _EXT_MAP = {
@@ -49,6 +52,7 @@ _EXT_MAP = {
     "owl": FORMAT_RDFXML,
     "xml": FORMAT_RDFXML,
     "jsonld": FORMAT_JSONLD,
+    "trix": FORMAT_TRIX,
 }
 
 

@@ -22,12 +22,14 @@ from tripleforge.detect import (
     FORMAT_RDFXML,
     FORMAT_SKIP,
     FORMAT_TRIG,
+    FORMAT_TRIX,
     FORMAT_TTL,
 )
 from tripleforge.parse.common import empty_raw_frame
 from tripleforge.parse.jsonld import parse_jsonld
 from tripleforge.parse.ntnq import parse_nq, parse_nt
 from tripleforge.parse.rdfxml import parse_rdfxml
+from tripleforge.parse.trix import parse_trix
 from tripleforge.parse.ttl import parse_trig, parse_ttl
 from tripleforge.schema import PARSE_ERROR, STATEMENT_RAW
 
@@ -38,6 +40,7 @@ _KERNELS = {
     FORMAT_TRIG: parse_trig,
     FORMAT_RDFXML: parse_rdfxml,
     FORMAT_JSONLD: parse_jsonld,
+    FORMAT_TRIX: parse_trix,
 }
 
 
@@ -86,7 +89,7 @@ def _parse_batches_arrow(batches, canonicalize: bool = False):
             if sub.num_rows:
                 parts.append(parse_batch_arrow(sub, quads, f))
         pandas_mask = pc.is_in(
-            fmt, value_set=pa.array([FORMAT_TTL, FORMAT_TRIG, FORMAT_RDFXML, FORMAT_JSONLD])
+            fmt, value_set=pa.array([FORMAT_TTL, FORMAT_TRIG, FORMAT_RDFXML, FORMAT_JSONLD, FORMAT_TRIX])
         )
         sub = batch.filter(pandas_mask)
         if sub.num_rows:
@@ -97,6 +100,7 @@ def _parse_batches_arrow(batches, canonicalize: bool = False):
                 (FORMAT_TRIG, parse_trig),
                 (FORMAT_RDFXML, parse_rdfxml),
                 (FORMAT_JSONLD, parse_jsonld),
+                (FORMAT_TRIX, parse_trix),
             ):
                 grp = pdf[pdf["format"] == f]
                 if len(grp):
