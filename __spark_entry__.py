@@ -1183,14 +1183,18 @@ def q_ann_lsh_multiprobe(spark, sf):
 
 
 def q_multimodal_meta(spark, sf):
-    """Multimodal plumbing: binary payload + typed metadata through the
-    Arrow feature-extraction kernel; metadata columns are oracle-checked
-    (the decode step itself is a documented stub)."""
-    from tripleforge.multimodal import extract_features, media_from_documents
+    """Multimodal metadata sniffing (r5 — REAL, not a stub): synthesize
+    genuine PNG/JPEG/GIF/WAV containers from the documents table, then
+    parse kind/mime/width/height/duration straight from the payload
+    bytes (magic numbers + header arithmetic, no codec libs). Only the
+    pixel/sample decode remains stubbed. Narrow plan: synth → sniff in
+    two Arrow stages, no shuffle."""
+    from tripleforge.multimodal import sniff_metadata, synth_media
 
     d = read_table(spark, sf, "documents")
-    feats = extract_features(media_from_documents(d), fake=True)
-    return feats.select("media_id", "kind", "n_bytes")
+    return sniff_metadata(synth_media(d)).select(
+        "media_id", "kind", "mime", "width", "height", "duration_ms"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1870,9 +1874,22 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _lsh_oracle_sql(),
         "ann_lsh_multiprobe": _lsh_oracle_sql(multiprobe=True),
         "multimodal_meta": """
+            -- predicts the SNIFFED values: synth_media derives real
+            -- containers from (doc_id, n_chars), the sniffer reads the
+            -- headers back; WAV duration = data_len * 1000 // byte_rate
             SELECT doc_id AS media_id,
-                   ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                   CASE WHEN doc_id % 4 = 3 THEN 'audio' ELSE 'image' END AS kind,
+                   CASE doc_id % 4 WHEN 0 THEN 'image/png'
+                                   WHEN 1 THEN 'image/jpeg'
+                                   WHEN 2 THEN 'image/gif'
+                                   ELSE 'audio/wav' END AS mime,
+                   CASE WHEN doc_id % 4 < 3
+                        THEN CAST(n_chars % 640 + 1 AS BIGINT) END AS width,
+                   CASE WHEN doc_id % 4 < 3
+                        THEN CAST(n_chars % 480 + 1 AS BIGINT) END AS height,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN CAST((n_chars % 1000 + 100) * 1000 // 16000
+                                  AS BIGINT) END AS duration_ms
             FROM documents
         """,
         # approx_distinct, sampling, minhash_pairs, simhash_pairs:

@@ -378,3 +378,61 @@ def test_curate_cli(tmp_path):
     import os as _os
 
     assert _os.path.isdir(_os.path.join(out, "annotate"))
+
+
+def test_sniff_bytes_magic_numbers():
+    """r5: header sniffing on crafted byte fixtures — every container
+    the sniffer claims to know, plus the unknown fallback."""
+    from tripleforge.multimodal import sniff_bytes
+
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + bytes([8, 2, 0, 0, 0]) + bytes(4))
+    assert sniff_bytes(png) == ("image", "image/png", 640, 480, None)
+
+    sof = (b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])
+           + (33).to_bytes(2, "big") + (44).to_bytes(2, "big")
+           + bytes([1, 1, 0x11, 0]))
+    jpeg = (b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00"
+            + bytes(9) + sof + b"\xff\xd9")
+    assert sniff_bytes(jpeg) == ("image", "image/jpeg", 44, 33, None)
+
+    gif = (b"GIF89a" + (12).to_bytes(2, "little")
+           + (34).to_bytes(2, "little") + bytes(3))
+    assert sniff_bytes(gif) == ("image", "image/gif", 12, 34, None)
+
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    wav = (b"RIFF" + (36 + 32000).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little") + fmt
+           + b"data" + (32000).to_bytes(4, "little") + bytes(32000))
+    assert sniff_bytes(wav) == ("audio", "audio/wav", None, None, 2000)
+
+    assert sniff_bytes(b"RIFF" + bytes(4) + b"WEBPVP8 ")[:2] == (
+        "image", "image/webp")
+    assert sniff_bytes(b"ID3\x04\x00" + bytes(20))[:2] == ("audio", "audio/mpeg")
+    assert sniff_bytes(b"\xff\xfb\x90\x00" + bytes(8))[:2] == ("audio", "audio/mpeg")
+    assert sniff_bytes(bytes(4) + b"ftypisom" + bytes(8))[:2] == (
+        "video", "video/mp4")
+    assert sniff_bytes(b"hello world") == (
+        None, "application/octet-stream", None, None, None)
+    assert sniff_bytes(b"") == (None, "application/octet-stream", None, None, None)
+
+
+def test_sniff_metadata_end_to_end(spark):
+    """synth_media -> sniff_metadata round-trips the header values the
+    synthesizer encoded, through the Arrow kernel (distributed path)."""
+    from tripleforge.multimodal import sniff_metadata, synth_media
+
+    docs = spark.createDataFrame(
+        [(0, 100), (1, 200), (2, 300), (3, 400), (4, 640)],
+        "doc_id long, n_chars long",
+    )
+    out = {r["media_id"]: r for r in sniff_metadata(synth_media(docs)).collect()}
+    assert out[0]["mime"] == "image/png" and out[0]["width"] == 101
+    assert out[1]["mime"] == "image/jpeg" and out[1]["height"] == 201
+    assert out[2]["mime"] == "image/gif" and out[2]["width"] == 301
+    assert out[3]["mime"] == "audio/wav" and out[3]["duration_ms"] == 31  # 500*1000//16000
+    assert out[4]["mime"] == "image/png" and out[4]["width"] == 1  # 640%640+1
+    assert all(r["n_bytes"] > 0 for r in out.values())

@@ -221,6 +221,125 @@ def _canon_datetime(lex: str) -> str:
     return dt.strftime("%Y-%m-%dT%H:%M:%S") + frac + "Z"
 
 
+_TZ_RE = re.compile(r"(Z|[+-]\d{2}:\d{2})$")
+_DATE_RE = re.compile(r"^(-?)(\d{4,})-(\d{2})-(\d{2})(Z|[+-]\d{2}:\d{2})?$")
+_TIME_RE = re.compile(
+    r"^(\d{2}):(\d{2}):(\d{2})(\.\d+)?(Z|[+-]\d{2}:\d{2})?$"
+)
+_GYEAR_RE = re.compile(r"^(-?)(\d{4,})(Z|[+-]\d{2}:\d{2})?$")
+_GYM_RE = re.compile(r"^(-?)(\d{4,})-(\d{2})(Z|[+-]\d{2}:\d{2})?$")
+_DURATION_RE = re.compile(
+    r"^(-?)P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def _canon_year(digits: str) -> str:
+    """Year field: no leading zeros beyond four digits (XSD 1.1
+    yearCanonicalFragmentMap)."""
+    return digits[:-4].lstrip("0") + digits[-4:] if len(digits) > 4 else digits
+
+
+def _canon_tz(tz: str | None) -> str:
+    """Zero offsets render as Z (XSD 1.1 timezoneCanonicalFragmentMap);
+    nonzero offsets are part of the 7-property value and stay."""
+    if tz in (None, ""):
+        return ""
+    if tz in ("Z", "+00:00", "-00:00"):
+        return "Z"
+    return tz
+
+
+def _canon_date(lex: str) -> str:
+    s = lex.strip()
+    m = _DATE_RE.match(s)
+    if not m:
+        return lex
+    sign, year, month, day, tz = m.groups()
+    return f"{sign}{_canon_year(year)}-{month}-{day}{_canon_tz(tz)}"
+
+
+def _canon_time(lex: str) -> str:
+    """Times with a nonzero offset shift to UTC (the XSD 1.0 canonical
+    form, e.g. 13:20:00-05:00 → 18:20:00Z — same discipline as this
+    engine's xsd:dateTime canonicalization); timezone-less stays as
+    written (local value)."""
+    s = lex.strip()
+    m = _TIME_RE.match(s)
+    if not m:
+        return lex
+    hh, mm, ss, frac, tz = m.groups()
+    frac = ("." + frac[1:].rstrip("0")) if frac and frac[1:].rstrip("0") else ""
+    if tz in (None, ""):
+        return f"{hh}:{mm}:{ss}{frac}"
+    if tz not in ("Z", "+00:00", "-00:00"):
+        off_min = int(tz[1:3]) * 60 + int(tz[4:6])
+        if tz[0] == "-":
+            off_min = -off_min
+        total = (int(hh) * 60 + int(mm) - off_min) % (24 * 60)
+        hh, mm = f"{total // 60:02d}", f"{total % 60:02d}"
+    return f"{hh}:{mm}:{ss}{frac}Z"
+
+
+def _canon_gyear(lex: str) -> str:
+    s = lex.strip()
+    m = _GYEAR_RE.match(s)
+    if not m:
+        return lex
+    sign, year, tz = m.groups()
+    return f"{sign}{_canon_year(year)}{_canon_tz(tz)}"
+
+
+def _canon_gyearmonth(lex: str) -> str:
+    s = lex.strip()
+    m = _GYM_RE.match(s)
+    if not m:
+        return lex
+    sign, year, month, tz = m.groups()
+    return f"{sign}{_canon_year(year)}-{month}{_canon_tz(tz)}"
+
+
+def _canon_duration(lex: str) -> str:
+    """XSD 1.1 duration canonical form: months carry into years,
+    seconds/minutes/hours carry upward (days never convert to months);
+    zero components are omitted; the zero duration is PT0S."""
+    s = lex.strip()
+    m = _DURATION_RE.match(s)
+    if not m or (m.group(0).endswith("P")) or (s.endswith("T")):
+        return lex
+    sign, y, mo, d, h, mi, sec = m.groups()
+    if not any((y, mo, d, h, mi, sec)):
+        return lex
+    months = int(y or 0) * 12 + int(mo or 0)
+    sec_dec = Decimal(sec) if sec else Decimal(0)
+    total_sec = (
+        int(d or 0) * 86400 + int(h or 0) * 3600 + int(mi or 0) * 60 + sec_dec
+    )
+    out = [sign or "", "P"]
+    yy, rm = divmod(months, 12)
+    if yy:
+        out.append(f"{yy}Y")
+    if rm:
+        out.append(f"{rm}M")
+    days, rem = divmod(total_sec, 86400)
+    hours, rem = divmod(rem, 3600)
+    mins, secs = divmod(rem, 60)
+    if days:
+        out.append(f"{int(days)}D")
+    if hours or mins or secs:
+        out.append("T")
+        if hours:
+            out.append(f"{int(hours)}H")
+        if mins:
+            out.append(f"{int(mins)}M")
+        if secs:
+            lex_s = _canon_decimal(str(secs))
+            out.append(f"{lex_s}S")
+    if out[-1] == "P":  # all-zero components
+        out.append("T0S")
+    return "".join(out)
+
+
 _CANON_FNS = {
     XSD_INTEGER: _canon_integer,
     XSD_NS + "long": _canon_integer,
@@ -234,6 +353,13 @@ _CANON_FNS = {
     XSD_NS + "float": _canon_double,
     XSD_BOOLEAN: _canon_boolean,
     XSD_DATETIME: _canon_datetime,
+    XSD_NS + "date": _canon_date,
+    XSD_NS + "time": _canon_time,
+    XSD_NS + "gYear": _canon_gyear,
+    XSD_NS + "gYearMonth": _canon_gyearmonth,
+    XSD_NS + "duration": _canon_duration,
+    XSD_NS + "dayTimeDuration": _canon_duration,
+    XSD_NS + "yearMonthDuration": _canon_duration,
 }
 
 
