@@ -23,6 +23,18 @@ Operators:
 
 Prints one JSON line per operator: rows written, wall seconds, output
 path — the same one-line-JSON contract as build.py.
+
+Incremental waves (r5): every run with ``--docs`` commits a compact
+``<out>/state/`` snapshot (fingerprints + MinHash signatures/buckets).
+``--against <prior-out>`` dedups THIS wave against that snapshot —
+``exact_incremental/`` (new docs duplicating committed docs) and
+``minhash_incremental/`` (cross-wave near-dup pairs) — without ever
+rescanning the prior wave's text; the new state is the union, so waves
+chain:
+
+    python jobs/curate.py --docs wave1.parquet --out /tmp/w1 --ops exact,minhash
+    python jobs/curate.py --docs wave2.parquet --out /tmp/w2 \\
+        --ops exact,minhash --against /tmp/w1
 """
 
 from __future__ import annotations
@@ -53,6 +65,17 @@ def main() -> int:
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--n-hashes", type=int, default=32)
     ap.add_argument("--n-bands", type=int, default=8)
+    ap.add_argument(
+        "--against",
+        help="prior curate OUTPUT dir: dedup this wave against its "
+        "committed state/ snapshot (fingerprint + MinHash-bucket "
+        "anti/semi joins — the prior wave's text is never rescanned); "
+        "ops gain exact_incremental/ and minhash_incremental/ outputs",
+    )
+    ap.add_argument(
+        "--no-state", action="store_true",
+        help="skip writing <out>/state (the snapshot later waves join)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -90,6 +113,12 @@ def main() -> int:
             text.fingerprint(tcol).alias("fingerprint"),
         )
 
+    from tripleforge import incremental
+
+    prior_state = (
+        os.path.join(args.against, "state") if args.against else None
+    )
+
     builders = {
         "exact": lambda: text.exact_dedup(docs, i, t).where(F.col("n_dups") > 1),
         "jaccard": lambda: text.jaccard_pairs(
@@ -105,6 +134,23 @@ def main() -> int:
         ),
         "annotate": annotate_df,
     }
+    if prior_state is not None and docs is not None:
+        # incremental cross-wave variants (r5): this wave vs the prior
+        # run's committed state — prior TEXT is never rescanned
+        if "exact" in ops:
+            builders["exact_incremental"] = lambda: incremental.incremental_exact(
+                docs, prior_state, i, t
+            )
+            ops.append("exact_incremental")
+        if "minhash" in ops:
+            builders["minhash_incremental"] = (
+                lambda: incremental.incremental_minhash_pairs(
+                    docs, prior_state, i, t,
+                    n_hashes=args.n_hashes, n_bands=args.n_bands,
+                    verify_threshold=args.minhash_threshold,
+                )
+            )
+            ops.append("minhash_incremental")
 
     rc = 0
     for op in ops:
@@ -121,6 +167,19 @@ def main() -> int:
         except Exception as exc:  # keep going; report per-op failure
             rc = 1
             print(json.dumps({"op": op, "error": str(exc)[:500]}))
+    if docs is not None and not args.no_state:
+        # commit this wave's state (∪ prior when chaining waves) so the
+        # NEXT wave can dedup against it without rescanning this text
+        t0 = time.perf_counter()
+        state_dir = os.path.join(args.out, "state")
+        incremental.write_state(
+            docs, state_dir, i, t, n_hashes=args.n_hashes,
+            prior_dir=prior_state,
+        )
+        print(json.dumps({
+            "op": "state", "out": state_dir,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }))
     spark.stop()
     return rc
 

@@ -240,6 +240,52 @@ def minhash_signatures(
     )
 
 
+def minhash_doc_state(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    k: int = 5,
+    with_sets: bool = True,
+) -> DataFrame:
+    """Per-doc minhash state ``(doc, h0…h{n-1}[, shs])`` — the reusable
+    first stage of :func:`minhash_lsh_pairs` and the DURABLE state for
+    incremental cross-wave dedup (r5, tripleforge.incremental): a later
+    wave joins its band buckets against this snapshot and verifies with
+    the stored shingle-hash sets, never rescanning this wave's text.
+    ONE groupBy over the exploded posting computes all minima (and
+    optionally ``collect_list`` of the doc's distinct shingle hashes —
+    per-doc shingles are already distinct, so no dedup cost)."""
+    posting = _shingle_posting(df, id_col, text_col, k=k)
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    if with_sets:
+        aggs.append(F.collect_list("sh").alias("shs"))
+    return posting.groupBy("doc").agg(*aggs)
+
+
+def minhash_band_buckets(
+    per_doc: DataFrame, n_hashes: int = 32, n_bands: int = 8
+) -> DataFrame:
+    """Banded LSH buckets ``(doc, band, bucket)`` from per-doc minhash
+    state: bands of r = n_hashes/n_bands rows; docs agreeing on ALL r
+    minhashes of a band share its bucket. The SAME hash formula across
+    waves is what makes stored buckets joinable incrementally."""
+    r = n_hashes // n_bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    return per_doc.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -274,28 +320,17 @@ def minhash_lsh_pairs(
     length (same order as the text itself) and rides the one shuffle the
     signatures already pay.
     """
-    r = n_hashes // n_bands
-    posting = _shingle_posting(df, id_col, text_col, k=5)
-    aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    if verify_threshold is not None:
-        # per-doc shingles are already distinct (shingles() applies
-        # array_distinct before hashing) → collect_list, no dedup cost
-        aggs.append(F.collect_list("sh").alias("shs"))
-    per_doc = _share(posting.groupBy("doc").agg(*aggs), eager=True)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("bucket"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = per_doc.select(
-        "doc", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    bands = block_and_cap(bands, ["band", "bucket"], max_bucket)
+    per_doc = _share(
+        minhash_doc_state(
+            df, id_col, text_col, n_hashes=n_hashes, k=5,
+            with_sets=verify_threshold is not None,
+        ),
+        eager=True,
+    )
+    bands = block_and_cap(
+        minhash_band_buckets(per_doc, n_hashes=n_hashes, n_bands=n_bands),
+        ["band", "bucket"], max_bucket,
+    )
     a = bands.withColumnRenamed("doc", "doc_a")
     b = bands.withColumnRenamed("doc", "doc_b")
     cand = (
