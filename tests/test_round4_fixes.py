@@ -555,13 +555,18 @@ def test_optional_filter_mixed_with_block_local_filter(lj):
     assert got == {("urn:a", "10"), ("urn:b", None)}
 
 
-def test_optional_bind_outer_var_still_rejected(lj):
-    with pytest.raises(sparql.SparqlError, match="not bound"):
-        sparql.select(
-            lj,
-            "SELECT ?s WHERE { ?s <urn:p> ?o "
-            "OPTIONAL { ?s <urn:q> ?x BIND(?o AS ?y) } }",
-        ).collect()
+def test_optional_bind_outer_var_unbound_scope(lj):
+    """r5 lifts the r4 loud rejection: BIND on an outer variable inside
+    OPTIONAL evaluates with strict bottom-up Extend scope (§18.2.2.6) —
+    the outer ?o is unbound inside the block, so ?y stays null while
+    the block itself still joins."""
+    out = sparql.select(
+        lj,
+        "SELECT ?s ?y WHERE { ?s <urn:p> ?o "
+        "OPTIONAL { ?s <urn:q> ?x BIND(?o AS ?y) } }",
+    ).collect()
+    assert all(r.y is None for r in out)
+    assert {r.s for r in out} == {"urn:a", "urn:b"}
 
 
 def test_inherited_graph_var_optional_under_dataset(spark):

@@ -543,11 +543,19 @@ def test_bind_inside_optional(df):
     }
 
 
-def test_exists_inside_optional_rejected(df):
-    with pytest.raises(Exception, match="EXISTS inside OPTIONAL"):
-        sparql.select(
-            df,
-            "SELECT ?d WHERE { ?d <urn:p:label> ?l . "
-            "OPTIONAL { ?d <urn:p:nchars> ?n . "
-            "FILTER EXISTS { ?d <urn:p:extra1> ?e } } }",
-        )
+def test_exists_inside_optional_evaluates(df):
+    """r5b lifts the rejection: the EXISTS semi-join shrinks the
+    OPTIONAL block's solutions pre-join — docs without extra1 keep the
+    label and lose the nchars binding."""
+    out = sparql.select(
+        df,
+        "SELECT ?d ?n WHERE { ?d <urn:p:label> ?l . "
+        "OPTIONAL { ?d <urn:p:nchars> ?n . "
+        "FILTER EXISTS { ?d <urn:p:extra1> ?e } } }",
+    )
+    got = {r.d: r.n for r in out.collect()}
+    # doc:1 and doc:2 carry urn:p:extra1 → nchars bound; doc:3/4 don't
+    assert got == {
+        "urn:doc:1": "100", "urn:doc:2": "250",
+        "urn:doc:3": None, "urn:doc:4": None,
+    }

@@ -147,13 +147,16 @@ def test_bind_inside_exists(df):
     assert _ds(out) == ["urn:d2", "urn:d3"]
 
 
-def test_nested_minus_still_rejected(df):
-    with pytest.raises(SparqlError, match="MINUS inside"):
-        sparql.select(df, """
-          SELECT ?d WHERE {
-            ?d <urn:p:a> ?v .
-            MINUS { ?d <urn:p:score> ?s MINUS { ?d <urn:p:tag> ?t } }
-          }""")
+def test_nested_minus_now_evaluates(df):
+    """r5b lifts the rejection: the inner MINUS re-admits tagged
+    subjects into the outer result ({A MINUS {B MINUS C}})."""
+    out = sparql.select(df, """
+      SELECT ?d WHERE {
+        ?d <urn:p:a> ?v .
+        MINUS { ?d <urn:p:score> ?s MINUS { ?d <urn:p:tag> ?t } }
+      }""")
+    # B MINUS C = scored-but-untagged = d3 → outer removes d3
+    assert _ds(out) == ["urn:d1", "urn:d2"]
 
 
 # ---------------------------------------------------------------------------

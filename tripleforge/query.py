@@ -462,71 +462,92 @@ def bgp(
         for b in (optional_groups or [])
     ]
     for block in blocks:
-        # an optional group may carry a transform (FILTER/BIND scoped
-        # inside the block — compiled by the SPARQL layer) applied to
-        # the sub-BGP before the left join, and — r4 — a LeftJoin
-        # CONDITION builder (SPARQL §18.2.2.3: an OPTIONAL-scoped
-        # FILTER referencing left-hand variables is part of the join
-        # condition, not a pre- or post-filter)
-        transform = None
-        join_cond = None
-        if isinstance(block, tuple):
-            if len(block) == 3:
-                block, transform, join_cond = block
-            else:
-                block, transform = block
-        if isinstance(block, DataFrame):
-            # pre-evaluated optional unit (r5: OPTIONAL blocks holding
-            # subqueries are compiled to a DataFrame by the SPARQL layer)
-            sub = block
-        elif len(block) == 1:
-            pt = block[0]
-            if isinstance(pt.p, tuple):
-                sub = path_scan(
-                    statements, pt, carry_meta=carry_meta, n_buckets=n_buckets
-                )
-            else:
-                sub = match(
-                    statements, pt.s, pt.p, pt.o, pt.g,
-                    carry_meta=carry_meta, n_buckets=n_buckets,
-                )
-        else:
-            sub = bgp(
-                statements,
-                [Pattern(s=pt.s, p=pt.p, o=pt.o, g=pt.g) for pt in block],
-                allow_cartesian=allow_cartesian,
-                carry_meta=carry_meta,
-                n_buckets=n_buckets,
-            )
-        if transform is not None:
-            sub = transform(sub)
-        dup_meta = [c for c in sub.columns if "__" in c and c in result.columns]
-        if dup_meta:
-            sub = sub.drop(*dup_meta)
-        shared = [c for c in sub.columns if c in result.columns and "__" not in c]
-        if not shared:
-            raise ValueError("OPTIONAL block shares no variable with the BGP")
-        if join_cond is None:
-            result = result.join(sub, on=shared, how="left")
-            continue
-        # LeftJoin with a condition over BOTH sides' bindings:
-        #   LeftJoin(L, R, F) = {merge(l, r) | r compatible ∧ F holds}
-        #                     ∪ {l | no compatible r satisfies F}
-        # Implemented with a stable row id on L (materialized via
-        # localCheckpoint so the id never recomputes differently): the
-        # name-equi left join gives the candidate merges, F filters
-        # them, and L rows with NO surviving candidate re-enter with
-        # null-extended optional bindings.
-        lrow = "__lrow"
-        left = result.withColumn(
-            lrow, F.monotonically_increasing_id()
-        ).localCheckpoint(eager=True)
-        marked = sub.withColumn("__rmatch", F.lit(1))
-        j = left.join(marked, on=shared, how="left")
-        sat = j.where(F.col("__rmatch").isNotNull() & join_cond(set(j.columns)))
-        unmatched = left.join(sat.select(lrow), lrow, "left_anti")
-        r_only = [c for c in marked.columns if c not in left.columns and c != "__rmatch"]
-        for c in r_only:
-            unmatched = unmatched.withColumn(c, F.lit(None).cast("string"))
-        result = sat.drop("__rmatch").unionByName(unmatched).drop(lrow)
+        result = left_join_optional(
+            statements, result, block,
+            allow_cartesian=allow_cartesian, carry_meta=carry_meta,
+            n_buckets=n_buckets,
+        )
     return result
+
+
+def left_join_optional(
+    statements: DataFrame,
+    result: DataFrame,
+    entry,
+    allow_cartesian: bool = False,
+    carry_meta: bool = False,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Left-join ONE optional unit into ``result`` (extracted from
+    :func:`bgp` in r5 so the SPARQL layer can apply OPTIONAL blocks
+    nested inside MINUS / EXISTS / OPTIONAL via ``_apply_ops``).
+
+    ``entry`` is a pattern list, a pre-evaluated DataFrame, or a tuple
+    ``(block, transform[, join_cond])``: the transform (FILTER/BIND
+    scoped inside the block — compiled by the SPARQL layer) applies to
+    the sub-BGP before the left join; the r4 LeftJoin CONDITION builder
+    (SPARQL §18.2.2.3: an OPTIONAL-scoped FILTER referencing left-hand
+    variables is part of the join condition, not a pre- or post-filter)
+    evaluates per candidate merge."""
+    transform = None
+    join_cond = None
+    block = entry
+    if isinstance(block, tuple):
+        if len(block) == 3:
+            block, transform, join_cond = block
+        else:
+            block, transform = block
+    if isinstance(block, DataFrame):
+        # pre-evaluated optional unit (r5: OPTIONAL blocks holding
+        # subqueries or nested OPTIONAL/MINUS/EXISTS are compiled to a
+        # DataFrame by the SPARQL layer)
+        sub = block
+    elif len(block) == 1:
+        pt = block[0]
+        if isinstance(pt.p, tuple):
+            sub = path_scan(
+                statements, pt, carry_meta=carry_meta, n_buckets=n_buckets
+            )
+        else:
+            sub = match(
+                statements, pt.s, pt.p, pt.o, pt.g,
+                carry_meta=carry_meta, n_buckets=n_buckets,
+            )
+    else:
+        sub = bgp(
+            statements,
+            [Pattern(s=pt.s, p=pt.p, o=pt.o, g=pt.g) for pt in block],
+            allow_cartesian=allow_cartesian,
+            carry_meta=carry_meta,
+            n_buckets=n_buckets,
+        )
+    if transform is not None:
+        sub = transform(sub)
+    dup_meta = [c for c in sub.columns if "__" in c and c in result.columns]
+    if dup_meta:
+        sub = sub.drop(*dup_meta)
+    shared = [c for c in sub.columns if c in result.columns and "__" not in c]
+    if not shared:
+        raise ValueError("OPTIONAL block shares no variable with the BGP")
+    if join_cond is None:
+        return result.join(sub, on=shared, how="left")
+    # LeftJoin with a condition over BOTH sides' bindings:
+    #   LeftJoin(L, R, F) = {merge(l, r) | r compatible ∧ F holds}
+    #                     ∪ {l | no compatible r satisfies F}
+    # Implemented with a stable row id on L (materialized via
+    # localCheckpoint so the id never recomputes differently): the
+    # name-equi left join gives the candidate merges, F filters
+    # them, and L rows with NO surviving candidate re-enter with
+    # null-extended optional bindings.
+    lrow = "__lrow"
+    left = result.withColumn(
+        lrow, F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    marked = sub.withColumn("__rmatch", F.lit(1))
+    j = left.join(marked, on=shared, how="left")
+    sat = j.where(F.col("__rmatch").isNotNull() & join_cond(set(j.columns)))
+    unmatched = left.join(sat.select(lrow), lrow, "left_anti")
+    r_only = [c for c in marked.columns if c not in left.columns and c != "__rmatch"]
+    for c in r_only:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast("string"))
+    return sat.drop("__rmatch").unionByName(unmatched).drop(lrow)

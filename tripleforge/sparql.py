@@ -44,7 +44,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from tripleforge.parse.ttl import _TOKEN, _Parser, TurtleError, _term_to_cols
-from tripleforge.query import Pattern, bgp
+from tripleforge.query import Pattern, bgp, left_join_optional
 from tripleforge.schema import RDF_TYPE
 
 
@@ -213,6 +213,62 @@ def _apply_ops(
             for v in new:
                 sol = sol.withColumn(v, F.col(f"__values_{v}"))
             sol = sol.drop(*[f"__values_{v}" for v in vnames])
+        elif op[0] == "optional":
+            # r5b: OPTIONAL nested inside a MINUS / EXISTS / OPTIONAL
+            # block — left-joins into the enclosing SUB-group's
+            # solutions (strict bottom-up §18.2 translation; the same
+            # _optional_entry machinery compiles block-scoped ops and
+            # outer-variable FILTERs, "outer" now meaning the enclosing
+            # block's bindings)
+            if statements is None:
+                raise SparqlError("OPTIONAL is not available here")
+            bops = list(op[2]) if len(op) > 2 and op[2] else []
+            gexcl = op[3] if len(op) > 3 else []
+            for v in gexcl:
+                bops.append(("cmp", v, "!=", _DATASET_DEFAULT_G, False))
+            entry = _optional_entry(
+                op[1], bops, statements=statements,
+                allow_cartesian=allow_cartesian, n_buckets=n_buckets,
+                carry_meta=_ops_need_meta(bops),
+            )
+            sol = left_join_optional(
+                statements, sol, entry,
+                allow_cartesian=allow_cartesian, n_buckets=n_buckets,
+                carry_meta=_ops_need_meta(bops),
+            )
+        elif op[0] == "graphdom":
+            # r5b: a (nested) GRAPH term that governs no required
+            # triple directly — §18.3 eval makes it range over the
+            # dataset's named-graph NAMES: a variable term joins the
+            # distinct name set (restriction when already bound, name
+            # domain otherwise); an IRI term gates on that graph's
+            # existence. The dataset-view marker never counts as a
+            # named graph.
+            if statements is None:
+                raise SparqlError("GRAPH domains are not available here")
+            from pyspark.sql import functions as F
+
+            term = op[1]
+            names = (
+                statements.select("graph")
+                .where(
+                    F.col("graph").isNotNull()
+                    & (F.col("graph") != _DATASET_DEFAULT_G)
+                )
+                .distinct()
+            )
+            if term.startswith("?"):
+                v = term[1:]
+                names = names.withColumnRenamed("graph", v)
+                if v in sol.columns:
+                    sol = sol.join(names, v, "left_semi")
+                else:
+                    sol = sol.crossJoin(names)
+            else:
+                gate = names.where(F.col("graph") == term).limit(1)
+                sol = sol.crossJoin(
+                    gate.select(F.lit(1).alias("__g_gate"))
+                ).drop("__g_gate")
         elif op[0] in ("minus", "exists"):
             if statements is None:
                 raise SparqlError(f"{op[0].upper()} is not available here")
@@ -226,6 +282,12 @@ def _apply_ops(
             else:
                 bops = op[3] if len(op) > 3 else []
                 gexcl = op[4] if len(op) > 4 else []
+            # graph vars inherited from an enclosing GRAPH ?g node are
+            # per-name restrictions, NOT block bindings (§18.3 attaches
+            # the name AFTER the block evaluates) — extracted here so
+            # MINUS's disjoint-domain rule ignores them
+            inherited = {o[1] for o in bops if o[0] == "inherited_g"}
+            bops = [o for o in bops if o[0] != "inherited_g"]
             if block:
                 sub = bgp(
                     statements, block, allow_cartesian=allow_cartesian,
@@ -251,8 +313,12 @@ def _apply_ops(
             ]
             if op[0] == "minus":
                 # SPARQL §8.3: solutions sharing NO variable with the
-                # MINUS side are kept (disjoint-domain MINUS is a no-op)
-                if shared:
+                # MINUS side are kept (disjoint-domain MINUS is a
+                # no-op). Inherited graph vars don't count toward the
+                # domain overlap (the name is attached after §18.3
+                # eval) but DO stay in the join key as the per-name
+                # restriction when a real overlap exists.
+                if shared and set(shared) - inherited:
                     sol = sol.join(
                         sub.select(*shared).dropDuplicates(), shared, "left_anti"
                     )
@@ -298,6 +364,11 @@ def _subquery_out_vars(parsed: tuple) -> set[str]:
                 out |= set(op[1])
             elif op[0] == "subquery":
                 out |= _subquery_out_vars(op[1])
+            elif op[0] == "optional":
+                for pt in op[1]:
+                    out |= pt.variables
+            elif op[0] == "graphdom" and op[1].startswith("?"):
+                out.add(op[1][1:])
         for entry in optional_blocks:
             blk = entry[0] if isinstance(entry, tuple) else entry
             for pt in blk:
@@ -395,6 +466,22 @@ def _optional_entry(
         elif op[0] == "values_multi":
             pre.append(op)
             local |= set(op[1])
+        elif op[0] == "optional":
+            # r5b: OPTIONAL nested inside this OPTIONAL — its block's
+            # variables (and bind targets) become visible in the
+            # enclosing block's scope (possibly unbound)
+            pre.append(op)
+            for pt in op[1]:
+                local |= pt.variables
+            for o in op[2] if len(op) > 2 and op[2] else []:
+                if o[0] == "bind":
+                    local.add(o[1])
+        elif op[0] in ("minus", "exists", "graphdom"):
+            # r5b: nested negation / graph-name domain — evaluated
+            # within the block (no new bindings except a graphdom var)
+            pre.append(op)
+            if op[0] == "graphdom" and op[1].startswith("?"):
+                local.add(op[1][1:])
         else:  # pragma: no cover - parser routes only these op kinds
             raise SparqlError(f"unsupported op inside OPTIONAL: {op[0]}")
 
@@ -405,7 +492,10 @@ def _optional_entry(
             col = c if col is None else col & c
         return col
 
-    if any(op[0] == "subquery" for op in pre):
+    if any(
+        op[0] in ("subquery", "optional", "minus", "exists", "graphdom")
+        for op in pre
+    ):
         if statements is None:
             raise SparqlError("subqueries inside OPTIONAL need a store")
         sub = (

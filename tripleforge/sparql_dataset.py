@@ -97,42 +97,43 @@ def _dataset_rewrite_group(grp: tuple) -> tuple:
             sdistinct,
         )
 
+    def rewrite_op(op: tuple) -> tuple:
+        # graph vars INSIDE a block need the marker exclusion too
+        # (ADVICE r3: a default-graph triple must not bind GRAPH ?var
+        # and trigger MINUS removal / satisfy EXISTS — §13.3 restricts
+        # GRAPH ?var to named graphs); the exclusion list rides as a
+        # trailing op element applied to the sub-BGP. r5b: blocks nest
+        # (OPTIONAL/MINUS/EXISTS inside each other), so the rewrite
+        # recurses through every block-scoped op list.
+        def block_gvars(block) -> list[str]:
+            return sorted(
+                {p.g[1:] for p in block if p.g is not None and p.g.startswith("?")}
+            )
+
+        if op[0] == "minus":
+            # op shape: ("minus", block, bops[, gexcl])
+            bops = rewrite_bops(op[2]) if len(op) > 2 else []
+            return ("minus", [_dataset_pattern(p) for p in op[1]], bops,
+                    block_gvars(op[1]))
+        if op[0] == "exists":
+            # op shape: ("exists", block, positive, bops[, gexcl])
+            bops = rewrite_bops(op[3]) if len(op) > 3 else []
+            return ("exists", [_dataset_pattern(p) for p in op[1]], op[2],
+                    bops, block_gvars(op[1]))
+        if op[0] == "optional":
+            # op shape (r5b, nested only): ("optional", block, bops[, gexcl])
+            bops = rewrite_bops(op[2]) if len(op) > 2 else []
+            return ("optional", [_dataset_pattern(p) for p in op[1]], bops,
+                    block_gvars(op[1]))
+        if op[0] == "subquery":
+            return ("subquery", rewrite_subquery(op[1]))
+        return op
+
     def rewrite_bops(bops: list[tuple]) -> list[tuple]:
-        return [
-            ("subquery", rewrite_subquery(o[1])) if o[0] == "subquery" else o
-            for o in bops
-        ]
+        return [rewrite_op(o) for o in bops]
 
     new_patterns = [_dataset_pattern(p) for p in patterns]
-    new_ops: list[tuple] = []
-    for op in ops:
-        if op[0] == "minus":
-            # graph vars INSIDE the block need the marker exclusion too
-            # (ADVICE r3: a default-graph triple must not bind GRAPH
-            # ?var and trigger MINUS removal / satisfy EXISTS — §13.3
-            # restricts GRAPH ?var to named graphs); the exclusion list
-            # rides as a trailing op element applied to the sub-BGP.
-            # r5 op shape: ("minus", block, bops[, gexcl])
-            bg = sorted(
-                {p.g[1:] for p in op[1] if p.g is not None and p.g.startswith("?")}
-            )
-            bops = rewrite_bops(op[2]) if len(op) > 2 else []
-            new_ops.append(
-                ("minus", [_dataset_pattern(p) for p in op[1]], bops, bg)
-            )
-        elif op[0] == "exists":
-            # r5 op shape: ("exists", block, positive, bops[, gexcl])
-            bg = sorted(
-                {p.g[1:] for p in op[1] if p.g is not None and p.g.startswith("?")}
-            )
-            bops = rewrite_bops(op[3]) if len(op) > 3 else []
-            new_ops.append(
-                ("exists", [_dataset_pattern(p) for p in op[1]], op[2], bops, bg)
-            )
-        elif op[0] == "subquery":
-            new_ops.append(("subquery", rewrite_subquery(op[1])))
-        else:
-            new_ops.append(op)
+    new_ops: list[tuple] = [rewrite_op(op) for op in ops]
     new_opts = []
     for entry in optional_blocks:
         block, bops = entry if isinstance(entry, tuple) else (entry, None)

@@ -370,8 +370,6 @@ def _parse_group_pattern(
                     sink_ops.append(("subquery", _parse_select_cursor(inner)))
                     continue
                 if t[0] == "GRAPHKW" or _kw(t, "GRAPH"):
-                    if graph_term is not None:
-                        raise SparqlError("nested GRAPH patterns are not supported")
                     c.next()
                     g = c.pattern_term("graph")
                     if c.next() != ("PUNCT", "{"):
@@ -380,18 +378,51 @@ def _parse_group_pattern(
                     # OPTIONAL too — patterns simply carry the graph
                     # term into the sub-BGP (evaluation is graph-
                     # agnostic; dataset rewrites collect the block's
-                    # graph vars for marker exclusion)
+                    # graph vars for marker exclusion). r5b: GRAPH may
+                    # nest inside GRAPH (§18.2.2.1 — each Graph(g, P)
+                    # node sets its own graph term; the outer term does
+                    # NOT intersect the inner patterns). If the block's
+                    # own term governs no triple directly (everything
+                    # sits under a deeper GRAPH), §18.3's eval makes the
+                    # term range over the dataset's named-graph NAMES —
+                    # emitted as a ("graphdom", term) op.
+                    sink_ops = sub_ops if sub_ops is not None else ops
+                    before, ops_before = len(sink), len(sink_ops)
+                    opts_before = len(optional_blocks)
                     triples_until_close(g, sink, sub=sub, sub_ops=sub_ops)
+                    if not any(p.g == g for p in sink[before:]):
+                        if len(optional_blocks) > opts_before:
+                            # a group-level OPTIONAL under an
+                            # ungoverned graph term left-joins BEFORE
+                            # the domain op could bind the term — the
+                            # order the semantics needs is not modeled;
+                            # loud, never silently wrong
+                            raise SparqlError(
+                                "GRAPH term governs no required triple "
+                                "pattern, only an OPTIONAL block — not "
+                                "supported"
+                            )
+                        # inserted BEFORE any op textually inside the
+                        # block so the domain binds first (a nested
+                        # MINUS/EXISTS then anti/semi-joins per name,
+                        # exactly §18.3's per-name evaluation)
+                        sink_ops.insert(ops_before, ("graphdom", g))
                     continue
                 if _kw(t, "OPTIONAL"):
-                    if sub:
-                        raise SparqlError(f"OPTIONAL inside {sub} is not supported")
                     c.next()
                     bops: list[tuple] = []
                     block = sub_block(graph_term, "OPTIONAL", collect_ops=bops)
                     # FILTER/BIND inside the block stay scoped to the
-                    # optional unit (applied BEFORE the left join)
-                    optional_blocks.append((block, bops) if bops else block)
+                    # optional unit (applied BEFORE the left join).
+                    # r5b: OPTIONAL nested inside MINUS / EXISTS /
+                    # OPTIONAL lands on the enclosing block's op list
+                    # and left-joins into the SUB-group's solutions.
+                    if sub_ops is not None:
+                        sub_ops.append(("optional", block, bops))
+                    elif sub:  # pragma: no cover - sub implies sub_ops
+                        raise SparqlError(f"OPTIONAL inside {sub} is not supported")
+                    else:
+                        optional_blocks.append((block, bops) if bops else block)
                     continue
                 if _kw(t, "SERVICE"):
                     raise SparqlError(
@@ -400,34 +431,43 @@ def _parse_group_pattern(
                         "graph with LOAD first"
                     )
                 if _kw(t, "MINUS"):
-                    if sub:
+                    if sub and sub_ops is None:  # pragma: no cover
                         raise SparqlError(f"MINUS inside {sub} is not supported")
                     c.next()
                     bops: list[tuple] = []
                     block = sub_block(graph_term, "MINUS", collect_ops=bops)
-                    ops.append(("minus", block, bops))
+                    if graph_term is not None and graph_term.startswith("?"):
+                        # §8.3 corner: a graph var INHERITED from an
+                        # enclosing GRAPH ?g is not a binding of the
+                        # MINUS block's solutions — when it ends up the
+                        # only shared variable, the MINUS must be a
+                        # no-op (disjoint domains). The pseudo-op rides
+                        # the block's op list to the evaluator. (An
+                        # explicit same-var GRAPH ?g redeclared inside
+                        # the block is treated the same — documented
+                        # deviation in that double-corner.)
+                        bops.insert(0, ("inherited_g", graph_term[1:]))
+                    # r5b: MINUS nests inside MINUS/EXISTS/OPTIONAL —
+                    # the op lands on the enclosing block's op list and
+                    # anti-joins within the sub-group
+                    (sub_ops if sub_ops is not None else ops).append(
+                        ("minus", block, bops)
+                    )
                     continue
                 if _kw(t, "FILTER"):
-                    if sub and sub_ops is not None:
-                        c.next()
-                        nt = c.peek()
-                        if _kw(nt, "EXISTS") or _kw(nt, "NOT"):
-                            raise SparqlError(
-                                f"FILTER [NOT] EXISTS inside {sub} is not supported"
-                            )
-                        sub_ops.append(("expr", _parse_constraint(c)))
-                        continue
-                    if sub:
+                    if sub and sub_ops is None:  # pragma: no cover
                         raise SparqlError(f"FILTER inside {sub} is not supported")
+                    sink_ops = sub_ops if sub_ops is not None else ops
                     c.next()
                     # FILTER [NOT] EXISTS { … } is a join, not an
-                    # expression — dispatched to semi/anti ops
+                    # expression — dispatched to semi/anti ops (r5b:
+                    # inside MINUS/EXISTS/OPTIONAL blocks too)
                     nt = c.peek()
                     if _kw(nt, "EXISTS"):
                         c.next()
                         bops = []
                         block = sub_block(graph_term, "EXISTS", collect_ops=bops)
-                        ops.append(("exists", block, True, bops))
+                        sink_ops.append(("exists", block, True, bops))
                         continue
                     if _kw(nt, "NOT"):
                         c.next()
@@ -437,15 +477,15 @@ def _parse_group_pattern(
                         block = sub_block(
                             graph_term, "NOT EXISTS", collect_ops=bops
                         )
-                        ops.append(("exists", block, False, bops))
+                        sink_ops.append(("exists", block, False, bops))
                         continue
-                    ops.append(("expr", _parse_constraint(c)))
+                    sink_ops.append(("expr", _parse_constraint(c)))
                     continue
                 if _kw(t, "BIND"):
                     if sub and sub_ops is not None:
                         parse_bind(sub_ops)
                         continue
-                    if sub:
+                    if sub:  # pragma: no cover - sub implies sub_ops
                         raise SparqlError(f"BIND inside {sub} is not supported")
                     parse_bind(ops)
                     continue
