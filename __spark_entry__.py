@@ -555,6 +555,46 @@ def q_kg_sparql_nested_graph(spark, sf):
     )
 
 
+def q_kg_sparql_union(spark, sf):
+    """UNION adjoined with triples in one group (r5c): the chain rides
+    the group's op list as Join(G, Union(A, B)) — previously UNION was
+    only accepted as the whole WHERE clause. Arms' shared vars are
+    certainty-analyzed → hash equi-join (no nested-loop)."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    return sparql.select(
+        stmts,
+        """
+        SELECT ?src (COUNT(*) AS ?n) WHERE {
+          ?d <urn:p:source> ?src .
+          { ?d <urn:p:nchars> ?c . FILTER(?c > 600) } UNION
+          { ?d <urn:p:nchars> ?c . FILTER(?c <= 300) }
+        } GROUP BY ?src
+        """,
+    )
+
+
+def q_kg_sparql_optunion(spark, sf):
+    """UNION nested inside OPTIONAL (r5c): the block's solutions are
+    the multiset union of the arms (arm 2 matches every doc, arm 1 only
+    long docs), left-joined into the outer group — bag semantics, so a
+    long doc contributes TWO rows."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    return sparql.select(
+        stmts,
+        """
+        SELECT ?src (COUNT(*) AS ?n_rows) (COUNT(?c) AS ?n_big) WHERE {
+          ?d <urn:p:source> ?src .
+          OPTIONAL { { ?d <urn:p:nchars> ?c . FILTER(?c > 600) } UNION
+                     { ?d <urn:p:type> ?t } }
+        } GROUP BY ?src
+        """,
+    )
+
+
 def q_kg_sparql_closure(spark, sf):
     """Transitive closure path (A27 ext, r3): owl:sameAs+ over the
     per-source chain corpus — a k-doc chain closes to k(k-1)/2 ordered
@@ -1276,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optopt": q_kg_sparql_optopt,
         "kg_sparql_minus_nested": q_kg_sparql_minus_nested,
         "kg_sparql_nested_graph": q_kg_sparql_nested_graph,
+        "kg_sparql_union": q_kg_sparql_union,
+        "kg_sparql_optunion": q_kg_sparql_optunion,
         "kg_trix": q_kg_trix,
         # r5-upgraded ops: sniffed multimodal metadata, JSON-LD
         # @reverse/containers/@vocab, refactored minhash posting, new
@@ -1493,6 +1535,22 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT source FROM documents) g
             CROSS JOIN (SELECT COUNT(*) AS c
                         FROM documents WHERE source = 'src0') s
+        """,
+        "kg_sparql_union": """
+            -- union arms are disjoint nchars ranges -> one row per
+            -- qualifying doc
+            SELECT 'urn:src:' || source AS src, COUNT(*) AS n
+            FROM documents WHERE n_chars > 600 OR n_chars <= 300
+            GROUP BY source
+        """,
+        "kg_sparql_optunion": """
+            -- OPTIONAL{ {nchars>600} UNION {type} }: arm 2 matches every
+            -- doc, arm 1 only long docs -> long docs contribute 2 rows
+            SELECT 'urn:src:' || source AS src,
+                   COUNT(*) + COUNT(CASE WHEN n_chars > 600 THEN 1 END)
+                       AS n_rows,
+                   COUNT(CASE WHEN n_chars > 600 THEN 1 END) AS n_big
+            FROM documents GROUP BY source
         """,
         "kg_sparql_closure": """
             -- a k-doc sameAs chain closes transitively to k(k-1)/2 pairs

@@ -151,18 +151,27 @@ def _apply_ops(
     statements: DataFrame | None = None,
     allow_cartesian: bool = False,
     n_buckets: int | None = None,
+    certain: set[str] | None = None,
 ) -> DataFrame:
     """Apply FILTER / BIND / VALUES / MINUS / [NOT] EXISTS operations
     in textual order (BIND is positional per SPARQL §10.1: later ops
     see its variable). MINUS and (NOT) EXISTS compile to anti/semi
     joins of the solution against the sub-BGP on shared variables —
     the shapes Catalyst executes as broadcast/shuffled anti and semi
-    hash joins."""
+    hash joins.
+
+    ``certain`` — variables guaranteed bound (non-null) in every row of
+    ``sol`` (the caller's required-BGP vars). Only the ``union`` op
+    consults it: when every shared variable is certain on BOTH sides,
+    the SPARQL compatibility join is exactly a hash equi-join (the hot
+    path); otherwise the general §18.5 unbound-is-compatible condition
+    join runs."""
+    certain = set(certain) if certain is not None else set()
     for op in ops:
-        if sol is None and op[0] != "subquery":
+        if sol is None and op[0] not in ("subquery", "union"):
             raise SparqlError(
                 "a group with no triple patterns must start with a "
-                "{ SELECT … } subquery"
+                "{ SELECT … } subquery or a { … } UNION { … } block"
             )
         if op[0] == "bind":
             _, var, tree = op
@@ -187,6 +196,73 @@ def _apply_ops(
                     "subquery shares no variable with the group — the "
                     "result is a cross product; pass allow_cartesian=True"
                 )
+        elif op[0] == "union":
+            # r5c: a nested { A } UNION { B } … chain (or a single
+            # plain nested group) in textual position — §18.2's
+            # Join(G, Union(A, B)). Arms evaluate through the same
+            # _solutions machinery as a whole-WHERE union chain.
+            if statements is None:
+                raise SparqlError("UNION is not available here")
+            from pyspark.sql import functions as F
+
+            udf = _solutions(
+                statements, op[1], allow_cartesian=allow_cartesian,
+                n_buckets=n_buckets,
+            )
+            arm_certain = _group_certain_vars(op[1][0])
+            for arm in op[1][1:]:
+                arm_certain &= _group_certain_vars(arm)
+            if sol is None:
+                sol = udf
+                certain |= arm_certain
+                continue
+            dup_meta = [
+                c for c in udf.columns if "__" in c and c in sol.columns
+            ]
+            if dup_meta:
+                udf = udf.drop(*dup_meta)
+            shared = [
+                v for v in udf.columns if v in sol.columns and "__" not in v
+            ]
+            new_vars = [
+                v for v in udf.columns
+                if v not in sol.columns and "__" not in v
+            ]
+            if not shared:
+                if not allow_cartesian:
+                    raise SparqlError(
+                        "UNION block shares no variable with the group — "
+                        "the result is a cross product; pass "
+                        "allow_cartesian=True"
+                    )
+                sol = sol.crossJoin(udf)
+            elif all(v in certain and v in arm_certain for v in shared):
+                # every shared variable certainly bound on both sides →
+                # the compatibility join IS a hash equi-join (hot path)
+                sol = sol.join(udf, shared, "inner")
+            else:
+                # general §18.5 Join: unbound (null) on either side is
+                # compatible, the merge takes the bound value. The
+                # disjunctive condition plans as a (broadcast) nested-
+                # loop join — reserved for the maybe-null shape (a
+                # shared var fed by OPTIONAL / BIND / a partial arm).
+                renamed = udf
+                for v in shared:
+                    renamed = renamed.withColumnRenamed(v, f"__u_{v}")
+                cond = F.lit(True)
+                for v in shared:
+                    cond = cond & (
+                        F.col(v).isNull()
+                        | F.col(f"__u_{v}").isNull()
+                        | (F.col(v) == F.col(f"__u_{v}"))
+                    )
+                sol = sol.join(renamed, cond, "inner")
+                for v in shared:
+                    sol = sol.withColumn(
+                        v, F.coalesce(F.col(v), F.col(f"__u_{v}"))
+                    ).drop(f"__u_{v}")
+            certain |= {v for v in new_vars if v in arm_certain}
+            certain |= {v for v in shared if v in arm_certain}
         elif op[0] == "values_multi":
             # inline table (SPARQL §10.2): tiny literal DataFrame joined
             # broadcast; UNDEF (null) cells are compatible with any
@@ -298,6 +374,7 @@ def _apply_ops(
             sub = _apply_ops(
                 sub, bops, statements=statements,
                 allow_cartesian=allow_cartesian, n_buckets=n_buckets,
+                certain={v for pt in block for v in pt.variables},
             )
             # dataset-view evaluation appends the block's graph vars as
             # a trailing element: exclude marker-relabelled default rows
@@ -352,28 +429,65 @@ def _subquery_out_vars(parsed: tuple) -> set[str]:
         return out
     # SELECT *: every binding of the subquery's WHERE clause
     out = set()
-    for patterns, ops, optional_blocks in groups:
-        for pt in patterns:
-            out |= pt.variables
-        for op in ops:
-            if op[0] == "bind":
-                out.add(op[1])
-            elif op[0] == "in":
-                out.add(op[1])
-            elif op[0] == "values_multi":
-                out |= set(op[1])
-            elif op[0] == "subquery":
-                out |= _subquery_out_vars(op[1])
-            elif op[0] == "optional":
-                for pt in op[1]:
-                    out |= pt.variables
-            elif op[0] == "graphdom" and op[1].startswith("?"):
-                out.add(op[1][1:])
-        for entry in optional_blocks:
-            blk = entry[0] if isinstance(entry, tuple) else entry
-            for pt in blk:
-                out |= pt.variables
+    for grp in groups:
+        out |= _group_all_vars(grp)
     out |= {g[1] if isinstance(g, tuple) else g for g in mods["group_by"]}
+    return out
+
+
+def _group_all_vars(grp: tuple) -> set[str]:
+    """Every variable a ``(patterns, ops, optional_blocks)`` group can
+    bind — required BGP, BIND/VALUES targets, subquery projections,
+    nested OPTIONAL / UNION blocks, graphdom names."""
+    patterns, ops, optional_blocks = grp
+    out: set[str] = set()
+    for pt in patterns:
+        out |= pt.variables
+    for op in ops:
+        if op[0] == "bind":
+            out.add(op[1])
+        elif op[0] == "in":
+            out.add(op[1])
+        elif op[0] == "values_multi":
+            out |= set(op[1])
+        elif op[0] == "subquery":
+            out |= _subquery_out_vars(op[1])
+        elif op[0] == "optional":
+            for pt in op[1]:
+                out |= pt.variables
+            for o in op[2] if len(op) > 2 and op[2] else []:
+                if o[0] == "bind":
+                    out.add(o[1])
+        elif op[0] == "graphdom" and op[1].startswith("?"):
+            out.add(op[1][1:])
+        elif op[0] == "union":
+            for arm in op[1]:
+                out |= _group_all_vars(arm)
+    for entry in optional_blocks:
+        blk = entry[0] if isinstance(entry, tuple) else entry
+        for pt in blk:
+            out |= pt.variables
+    return out
+
+
+def _group_certain_vars(grp: tuple) -> set[str]:
+    """Variables bound (non-null) in EVERY solution of the group:
+    required-BGP vars, graphdom names, and union vars certain in every
+    arm. BIND / VALUES / OPTIONAL / subquery products may be null →
+    excluded (conservative — certainty only picks equi- vs general
+    compatibility join in :func:`_apply_ops`'s union op)."""
+    patterns, ops, _opts = grp
+    out: set[str] = set()
+    for pt in patterns:
+        out |= pt.variables
+    for op in ops:
+        if op[0] == "graphdom" and op[1].startswith("?"):
+            out.add(op[1][1:])
+        elif op[0] == "union":
+            certain = _group_certain_vars(op[1][0])
+            for arm in op[1][1:]:
+                certain &= _group_certain_vars(arm)
+            out |= certain
     return out
 
 
@@ -476,6 +590,13 @@ def _optional_entry(
             for o in op[2] if len(op) > 2 and op[2] else []:
                 if o[0] == "bind":
                     local.add(o[1])
+        elif op[0] == "union":
+            # r5c: { A } UNION { B } nested inside this OPTIONAL — all
+            # arm bindings become visible in the block's scope
+            # (possibly unbound when arms differ)
+            pre.append(op)
+            for arm in op[1]:
+                local |= _group_all_vars(arm)
         elif op[0] in ("minus", "exists", "graphdom"):
             # r5b: nested negation / graph-name domain — evaluated
             # within the block (no new bindings except a graphdom var)
@@ -493,7 +614,8 @@ def _optional_entry(
         return col
 
     if any(
-        op[0] in ("subquery", "optional", "minus", "exists", "graphdom")
+        op[0] in ("subquery", "optional", "minus", "exists", "graphdom",
+                  "union")
         for op in pre
     ):
         if statements is None:
@@ -509,6 +631,7 @@ def _optional_entry(
         sub = _apply_ops(
             sub, pre, statements=statements,
             allow_cartesian=allow_cartesian, n_buckets=n_buckets,
+            certain={v for pt in block for v in pt.variables},
         )
         if not deferred:
             return (sub, None)
@@ -564,9 +687,9 @@ def _solutions(
             for e in optional_blocks
             if isinstance(e, tuple)
         )
-        if not patterns and ops and ops[0][0] == "subquery":
-            # group consists of a subquery (± trailing ops): the
-            # subquery's projection seeds the solution (sol=None)
+        if not patterns and ops and ops[0][0] in ("subquery", "union"):
+            # group consists of a subquery or a nested union chain
+            # (± trailing ops): its solutions seed the group (sol=None)
             sol = None
         else:
             sol = bgp(
@@ -586,6 +709,7 @@ def _solutions(
             _apply_ops(
                 sol, ops, statements=statements,
                 allow_cartesian=allow_cartesian, n_buckets=n_buckets,
+                certain={v for pt in patterns for v in pt.variables},
             )
         )
     out = sols[0]

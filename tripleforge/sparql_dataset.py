@@ -127,6 +127,11 @@ def _dataset_rewrite_group(grp: tuple) -> tuple:
                     block_gvars(op[1]))
         if op[0] == "subquery":
             return ("subquery", rewrite_subquery(op[1]))
+        if op[0] == "union":
+            # r5c: nested union — each arm is a full group, rewritten
+            # exactly like a whole-WHERE union arm (patterns get the
+            # marker, GRAPH ?var exclusions land per arm)
+            return ("union", [_dataset_rewrite_group(a) for a in op[1]])
         return op
 
     def rewrite_bops(bops: list[tuple]) -> list[tuple]:

@@ -277,7 +277,9 @@ def _parse_group_pattern(
     if c.next() != ("PUNCT", "{"):
         raise SparqlError("expected '{' after WHERE")
 
-    def parse_one_group() -> tuple[list[Pattern], list[tuple], list[list[Pattern]]]:
+    def parse_one_group(
+        graph_term: str | None = None,
+    ) -> tuple[list[Pattern], list[tuple], list[list[Pattern]]]:
         patterns: list[Pattern] = []
         ops: list[tuple] = []
         optional_blocks: list[list[Pattern]] = []
@@ -307,7 +309,8 @@ def _parse_group_pattern(
             block: list[Pattern] = []
             triples_until_close(graph_term, block, sub=kind, sub_ops=collect_ops)
             if not block and not (
-                collect_ops and any(o[0] == "subquery" for o in collect_ops)
+                collect_ops
+                and any(o[0] in ("subquery", "union") for o in collect_ops)
             ):
                 raise SparqlError(f"empty {kind} block")
             return block
@@ -350,9 +353,25 @@ def _parse_group_pattern(
                     # list and is evaluated within the sub-group
                     nxt = c.toks[c.i + 1] if c.i + 1 < len(c.toks) else None
                     if not _kw(nxt, "SELECT"):
-                        raise SparqlError(
-                            "nested group must be a { SELECT … } subquery"
-                        )
+                        # r5c: a plain nested GroupGraphPattern — one
+                        # scoped group, or a {A} UNION {B} … chain.
+                        # Each arm parses as a full group of its own
+                        # (fresh FILTER/BIND/OPTIONAL scope, fresh
+                        # bnode labels per §4.1.4); the chain rides the
+                        # enclosing op list as ("union", arms) and is
+                        # evaluated in textual position — §18.2's
+                        # Join(G, Union(A, B)). The enclosing GRAPH
+                        # term carries into every arm.
+                        sink_ops = sub_ops if sub_ops is not None else ops
+                        c.next()  # '{'
+                        arms = [parse_one_group(graph_term)]
+                        while _kw(c.peek(), "UNION"):
+                            c.next()
+                            if c.next() != ("PUNCT", "{"):
+                                raise SparqlError("expected '{' after UNION")
+                            arms.append(parse_one_group(graph_term))
+                        sink_ops.append(("union", arms))
+                        continue
                     if sub and sub_ops is None:
                         raise SparqlError(f"subquery inside {sub} is not supported")
                     c.next()  # '{'
@@ -390,7 +409,14 @@ def _parse_group_pattern(
                     before, ops_before = len(sink), len(sink_ops)
                     opts_before = len(optional_blocks)
                     triples_until_close(g, sink, sub=sub, sub_ops=sub_ops)
-                    if not any(p.g == g for p in sink[before:]):
+                    governed = any(p.g == g for p in sink[before:]) or any(
+                        # r5c: a union chain inside the GRAPH block —
+                        # its arms' patterns carry the term too
+                        o[0] == "union"
+                        and any(p.g == g for arm in o[1] for p in arm[0])
+                        for o in sink_ops[ops_before:]
+                    )
+                    if not governed:
                         if len(optional_blocks) > opts_before:
                             # a group-level OPTIONAL under an
                             # ungoverned graph term left-joins BEFORE
@@ -612,15 +638,22 @@ def _parse_group_pattern(
                 return
             parse_predicate_object_list(s, graph_term, sink)
 
-        triples_until_close(None, patterns)
-        if not patterns and not any(op[0] == "subquery" for op in ops):
+        triples_until_close(graph_term, patterns)
+        if not patterns and not any(
+            op[0] in ("subquery", "union") for op in ops
+        ):
             raise SparqlError("empty group pattern")
         return patterns, ops, optional_blocks
 
     # UNION chain: WHERE { { A } UNION { B } ... } — else a single group
-    # (a '{ SELECT' opener is a subquery, not a UNION arm)
+    # (a '{ SELECT' opener is a subquery, not a UNION arm). r5c: when
+    # the chain is NOT the whole WHERE clause (more tokens follow the
+    # last arm, e.g. { {A} UNION {B} ?s ?p ?o }), rewind and parse as
+    # one group — the nested-group branch inside triples_until_close
+    # turns the chain into a ("union", arms) op in textual position.
     nxt = c.toks[c.i + 1] if c.i + 1 < len(c.toks) else None
     if c.peek() == ("PUNCT", "{") and not _kw(nxt, "SELECT"):
+        saved = c.i
         groups: list[tuple[list[Pattern], list[tuple], list[list[Pattern]]]] = []
         while True:
             c.next()  # inner '{'
@@ -631,9 +664,10 @@ def _parse_group_pattern(
                     raise SparqlError("expected '{' after UNION")
                 continue
             break
-        if c.next() != ("PUNCT", "}"):
-            raise SparqlError("expected '}' to close WHERE")
-        return groups
+        if c.peek() == ("PUNCT", "}"):
+            c.next()
+            return groups
+        c.i = saved
     return [parse_one_group()]
 
 
