@@ -575,7 +575,9 @@ def test_values(stmts):
     assert {(r.d, r.n) for r in rows} == {("urn:d2", "20")}
 
 
-def test_union_rejected_in_updates(spark, cat_root):
+def test_union_rejected_in_delete_where_shorthand(spark, cat_root):
+    """Per-grammar DELETE WHERE takes a QuadPattern — no UNION; the
+    error points at the full modify form (which does support it)."""
     cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
     with pytest.raises(sparql.SparqlError, match="UNION"):
         sparql.execute_update(
@@ -583,6 +585,95 @@ def test_union_rejected_in_updates(spark, cat_root):
             "DELETE WHERE { { ?s <urn:p> ?o } UNION { ?s <urn:q> ?o } }",
             run_id="x",
         )
+
+
+def test_union_in_insert_where(spark, cat_root):
+    """r5d lift: the modify form's WHERE is a full GroupGraphPattern,
+    so top-level UNION evaluates exactly as in SELECT."""
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    _seed_store(spark, cat)
+    sparql.execute_update(
+        spark, cat,
+        """
+        INSERT { GRAPH <urn:derived> { ?s <urn:p:flag> true } }
+        WHERE {
+          { GRAPH <urn:g1> { ?s <urn:p:age> 40 } }
+          UNION
+          { GRAPH <urn:g1> { ?s <urn:p:name> "alice" } }
+        }
+        """,
+        run_id="u1",
+    )
+    derived = {
+        r.subj
+        for r in cat.read_statements()
+        .where("graph = 'urn:derived'")
+        .select("subj")
+        .collect()
+    }
+    assert derived == {"urn:a", "urn:b"}
+
+
+def test_union_in_modify_delete_insert_where(spark, cat_root):
+    """DELETE/INSERT templates instantiate once per union solution;
+    unbound-in-arm template vars skip instantiation (no null terms)."""
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    _seed_store(spark, cat)
+    before = cat.latest_snapshot_id()
+    sparql.execute_update(
+        spark, cat,
+        """
+        DELETE { GRAPH <urn:g1> { ?s <urn:p:age> ?v } }
+        INSERT { GRAPH <urn:g1> { ?s <urn:p:touched> true } }
+        WHERE {
+          { GRAPH <urn:g1> { ?s <urn:p:age> ?v . FILTER (?v > 35) } }
+          UNION
+          { GRAPH <urn:g1> { ?s <urn:p:name> "alice" } }
+        }
+        """,
+        run_id="m1",
+    )
+    assert cat.latest_snapshot_id() == before + 1  # one atomic snapshot
+    rows = {
+        (r.subj, r.pred, r.graph)
+        for r in cat.read_statements()
+        .select("subj", "pred", "graph")
+        .collect()
+    }
+    # ?v bound only in arm 1 → only urn:b's age deleted
+    assert ("urn:b", "urn:p:age", "urn:g1") not in rows
+    assert ("urn:a", "urn:p:age", "urn:g1") in rows
+    # both arms' subjects touched
+    assert ("urn:a", "urn:p:touched", "urn:g1") in rows
+    assert ("urn:b", "urn:p:touched", "urn:g1") in rows
+    assert ("urn:a", "urn:p:age", "urn:g2") in rows  # other graph untouched
+
+
+def test_union_in_update_with_graph_injection(spark, cat_root):
+    """WITH <g> scopes BOTH union arms' patterns (and the templates)."""
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    _seed_store(spark, cat)
+    sparql.execute_update(
+        spark, cat,
+        """
+        WITH <urn:g1>
+        INSERT { ?s <urn:p:hit> true }
+        WHERE {
+          { ?s <urn:p:age> 30 } UNION { ?s <urn:p:age> 40 }
+        }
+        """,
+        run_id="w1",
+    )
+    hits = {
+        (r.subj, r.graph)
+        for r in cat.read_statements()
+        .where("pred = 'urn:p:hit'")
+        .select("subj", "graph")
+        .collect()
+    }
+    # urn:a has age 30 in g2 as well, but WITH restricts matching to g1;
+    # both matches land in g1 via the WITH template default
+    assert hits == {("urn:a", "urn:g1"), ("urn:b", "urn:g1")}
 
 
 def test_construct_skips_solutions_with_unbound_template_vars(stmts, spark):

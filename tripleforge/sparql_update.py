@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tripleforge.parse.ttl import TurtleError, _Parser, _term_to_cols
-from tripleforge.query import Pattern, bgp
+from tripleforge.query import Pattern
 from tripleforge.sparql_dataset import _apply_dataset, _parse_dataset
 from tripleforge.sparql_expr import _reset_query_clock
 from tripleforge.sparql_grammar import (
@@ -396,13 +396,20 @@ def execute_update(
         if op == "delete" and _kw(nxt, "WHERE"):
             groups = _parse_group_pattern(c)
             if len(groups) > 1:
-                raise SparqlError("UNION is not supported in updates")
+                # per-grammar: DELETE WHERE takes a QuadPattern, which
+                # admits only triples/GRAPH blocks — no UNION (use the
+                # full DELETE {} WHERE {} modify form instead)
+                raise SparqlError(
+                    "DELETE WHERE takes a quad pattern (no UNION); use "
+                    "DELETE { … } WHERE { … }"
+                )
             patterns, ops, opt_blocks = groups[0]
             if opt_blocks:
                 raise SparqlError("OPTIONAL is not allowed in DELETE WHERE")
             _parse_modifiers(c)
             patterns, delete_tmpl, extra = _delete_where_compile(patterns, with_graph)
             ops = ops + extra
+            groups = [(patterns, ops, opt_blocks)]
         else:
             if nxt != ("PUNCT", "{"):
                 raise SparqlError("expected DATA, WHERE, or a template")
@@ -416,9 +423,6 @@ def execute_update(
                 insert_tmpl = tmpl
             using = _parse_dataset(c, kw="USING")
             groups = _parse_group_pattern(c)
-            if len(groups) > 1:
-                raise SparqlError("UNION is not supported in updates")
-            patterns, ops, opt_blocks = groups[0]
             _parse_modifiers(c)
             if using[0] or using[1]:
                 # USING/USING NAMED scope the WHERE evaluation (and
@@ -426,50 +430,39 @@ def execute_update(
                 # provides the templates' default graph
                 where_dataset = using
             elif with_graph is not None:
-                patterns = [
-                    Pattern(s=pt.s, p=pt.p, o=pt.o, g=pt.g or with_graph)
-                    for pt in patterns
-                ]
-                opt_blocks = [
-                    (
-                        [Pattern(s=pt.s, p=pt.p, o=pt.o, g=pt.g or with_graph)
-                         for pt in e[0]],
-                        e[1],
-                    )
-                    if isinstance(e, tuple)
-                    else [
+                def inject(pts):
+                    return [
                         Pattern(s=pt.s, p=pt.p, o=pt.o, g=pt.g or with_graph)
-                        for pt in e
+                        for pt in pts
                     ]
-                    for e in opt_blocks
+
+                groups = [
+                    (
+                        inject(patterns),
+                        ops,
+                        [
+                            (inject(e[0]), e[1])
+                            if isinstance(e, tuple)
+                            else inject(e)
+                            for e in opt_blocks
+                        ],
+                    )
+                    for patterns, ops, opt_blocks in groups
                 ]
         # evaluation/construct helpers live in tripleforge.sparql —
         # imported at call time to keep the module DAG acyclic
-        from tripleforge.sparql import (
-            _apply_ops,
-            _instantiate,
-            _optional_entry,
-        )
+        from tripleforge.sparql import _instantiate, _solutions
 
         store = catalog.read_statements()
         nb = getattr(catalog, "n_buckets", None)
         if where_dataset is not None:
-            store, rewritten, nb = _apply_dataset(
-                store, [(patterns, ops, opt_blocks)], where_dataset, nb
+            store, groups, nb = _apply_dataset(
+                store, groups, where_dataset, nb
             )
-            patterns, ops, opt_blocks = rewritten[0]
-        sol = bgp(
-            store, patterns, carry_meta=True, n_buckets=nb,
-            optional_groups=[
-                _optional_entry(
-                    e[0], e[1], statements=store, n_buckets=nb,
-                    carry_meta=True,
-                )
-                if isinstance(e, tuple) else e
-                for e in opt_blocks
-            ],
-        )
-        sol = _apply_ops(sol, ops, statements=store, n_buckets=nb)
+        # the WHERE clause is a full GroupGraphPattern: a multi-group
+        # parse is a top-level UNION, evaluated exactly as in SELECT
+        # (r5d lift — was a loud "UNION is not supported in updates")
+        sol = _solutions(store, groups, carry_meta=True, n_buckets=nb)
         deletes = (
             canonicalize(_instantiate(sol, delete_tmpl, with_graph))
             if delete_tmpl
