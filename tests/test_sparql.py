@@ -676,6 +676,65 @@ def test_union_in_update_with_graph_injection(spark, cat_root):
     assert hits == {("urn:a", "urn:g1"), ("urn:b", "urn:g1")}
 
 
+def test_property_path_in_update_where(spark, cat_root):
+    """Updates share SELECT's evaluation path, so property paths work
+    in the modify form's WHERE (e.g. mark everything reachable)."""
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    sparql.execute_update(
+        spark, cat,
+        """
+        INSERT DATA { GRAPH <urn:g> {
+          <urn:n1> <urn:p:next> <urn:n2> .
+          <urn:n2> <urn:p:next> <urn:n3> .
+        } }
+        """,
+        run_id="seed",
+    )
+    sparql.execute_update(
+        spark, cat,
+        """
+        INSERT { GRAPH <urn:g> { ?x <urn:p:reach> true } }
+        WHERE { GRAPH <urn:g> { <urn:n1> <urn:p:next>+ ?x } }
+        """,
+        run_id="p1",
+    )
+    reached = {
+        r.subj
+        for r in cat.read_statements()
+        .where("pred = 'urn:p:reach'")
+        .select("subj")
+        .collect()
+    }
+    assert reached == {"urn:n2", "urn:n3"}
+
+
+def test_subquery_in_update_where(spark, cat_root):
+    """Aggregating subquery inside the modify form's WHERE: delete the
+    ages of subjects at the global maximum age."""
+    cat = ParquetSnapshotCatalog(spark, cat_root, n_buckets=4)
+    _seed_store(spark, cat)
+    sparql.execute_update(
+        spark, cat,
+        """
+        WITH <urn:g1>
+        DELETE { ?s <urn:p:age> ?v }
+        WHERE {
+          ?s <urn:p:age> ?v .
+          { SELECT (MAX(?a) AS ?v) WHERE { GRAPH <urn:g1> { ?x <urn:p:age> ?a } } }
+        }
+        """,
+        run_id="sq1",
+    )
+    ages = {
+        (r.subj, r.obj)
+        for r in cat.read_statements()
+        .where("pred = 'urn:p:age' and graph = 'urn:g1'")
+        .select("subj", "obj")
+        .collect()
+    }
+    assert ages == {("urn:a", "30")}  # urn:b's 40 (the max) deleted
+
+
 def test_construct_skips_solutions_with_unbound_template_vars(stmts, spark):
     """SPARQL semantics: a solution that leaves a template variable
     unbound (OPTIONAL miss) instantiates NO statement for that triple —
