@@ -72,11 +72,11 @@ def main() -> int:
         "--format",
         default=None,
         choices=["csv", "tsv", "json", "jsonl", "xml", "nt", "nq", "ttl",
-                 "trig", "jsonld-rdf"],
+                 "trig", "jsonld-rdf", "trix", "rdfxml"],
         help="result format for --out: W3C SPARQL Results CSV/TSV/JSON/XML, "
-        "distributed JSONL bindings, or N-Triples/N-Quads/Turtle/TriG for "
-        "statement-shaped (CONSTRUCT) results. Default: nt for "
-        "CONSTRUCT, tsv for SELECT",
+        "distributed JSONL bindings, or N-Triples/N-Quads/Turtle/TriG/"
+        "TriX/RDF-XML for statement-shaped (CONSTRUCT) results. Default: "
+        "nt for CONSTRUCT, tsv for SELECT",
     )
     args = ap.parse_args()
 

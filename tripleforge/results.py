@@ -237,7 +237,8 @@ def write_results(
     """Dispatch on format: csv | tsv | json (W3C envelope) | jsonl
     (distributed bindings) | xml (W3C XML envelope) | nt/nq
     (statement-shaped CONSTRUCT output, via io.write_ntriples) |
-    jsonld-rdf (statement-shaped JSON-LD expanded-form document)."""
+    jsonld-rdf (statement-shaped JSON-LD expanded-form document) |
+    trix / rdfxml (statement-shaped XML serializations, r5)."""
     if fmt == "csv":
         write_csv(df, path)
     elif fmt == "tsv":
@@ -262,5 +263,13 @@ def write_results(
         from tripleforge.jsonld_out import write_jsonld
 
         write_jsonld(df, path, quads=True)
+    elif fmt == "trix":
+        from tripleforge.trix_out import write_trix
+
+        write_trix(df, path)
+    elif fmt == "rdfxml":
+        from tripleforge.rdfxml_out import write_rdfxml
+
+        write_rdfxml(df, path)
     else:
         raise ValueError(f"unknown result format {fmt!r}")
