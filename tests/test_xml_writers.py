@@ -10,6 +10,7 @@ import glob
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from tripleforge.parse.rdfxml import parse_rdfxml
 from tripleforge.parse.trix import parse_trix
@@ -176,3 +177,62 @@ def test_rdfxml_numeric_boundary_split(spark, tmp_path):
 def test_rdfxml_no_python_in_plan(df):
     plan = rdfxml_blocks(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# seeded property round-trips (same contract as the NT/JSON-LD ones);
+# generator avoids XML-1.0-illegal control characters and \r (parsers
+# normalize CRLF), both of which no RDF literal needs to round-trip
+# through an XML serialization
+# ---------------------------------------------------------------------------
+def _random_rows(seed: int, n: int):
+    import random
+
+    rng = random.Random(seed)
+    LANGSTR = RDF + "langString"
+    rows = []
+    for _ in range(n):
+        s = f"http://ex.org/s{rng.randrange(20)}"
+        p = f"http://ex.org/ns#p{rng.randrange(8)}"
+        g = rng.choice([None, "http://ex.org/g1", "http://ex.org/g2"])
+        kind = rng.randrange(4)
+        if kind == 0:
+            rows.append((s, p, f"http://ex.org/o{rng.randrange(30)}",
+                         "iri", None, None, g))
+        elif kind == 1:
+            lex = "".join(
+                rng.choice('ab<>&"\'\n\téü✓ ')
+                for _ in range(rng.randrange(1, 10))
+            )
+            rows.append((s, p, lex, "literal", XSD + "string", None, g))
+        elif kind == 2:
+            rows.append((s, p, str(rng.randrange(10**6)), "literal",
+                         XSD + "integer", None, g))
+        else:
+            rows.append((s, p, "tag", "literal", LANGSTR,
+                         rng.choice(["en", "fr"]), g))
+    return rows
+
+
+def test_trix_roundtrip_property(spark, tmp_path):
+    df = spark.createDataFrame(_random_rows(31, 150), SCHEMA).dropDuplicates()
+    want = {tuple(r) for r in df.collect()}
+    path = str(tmp_path / "prop.trix")
+    write_trix(df, path)
+    out = parse_trix(_pdf("f.trix", open(path).read()))
+    assert list(out["error"].dropna()) == []
+    assert _norm(out, with_graph=True) == want
+
+
+def test_rdfxml_roundtrip_property(spark, tmp_path):
+    df = (
+        spark.createDataFrame(_random_rows(32, 150), SCHEMA)
+        .drop("graph")  # RDF/XML has no named graphs
+        .dropDuplicates()
+    )
+    want = {tuple(r) for r in df.collect()}
+    path = str(tmp_path / "prop.rdf")
+    write_rdfxml(df.withColumn("graph", F.lit(None).cast("string")), path)
+    out = parse_rdfxml(_pdf("f.rdf", open(path).read()))
+    assert list(out["error"].dropna()) == []
+    assert _norm(out, with_graph=False) == want
