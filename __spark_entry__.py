@@ -1218,6 +1218,43 @@ def q_langid(spark, sf):
     return d.select("doc_id", text.langid(F.col("text")).alias("lang_pred"))
 
 
+def q_pii_redact(spark, sf):
+    """PII scrub (r5): deterministic PII-bearing text derived from
+    doc_id (the raw corpus is PII-free word salad), then the
+    redact chain + per-kind counts — one codegen projection, zero
+    shuffles; oracle mirrors the exact RE2-compatible patterns."""
+    d = read_table(spark, sf, "documents")
+    pii = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 ssn 123-45-6789 tel 555-123-4567"),
+    )
+    d = d.withColumn("pii_text", pii)
+    counts = text.pii_counts(F.col("pii_text"))
+    return d.select(
+        "doc_id",
+        text.redact(F.col("pii_text")).alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["ssn"].alias("n_ssn"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+def q_repetition_ratio(spark, sf):
+    """C4-style boilerplate signal (r5): duplicated-line fraction
+    after deterministically injecting line breaks (the corpus text is
+    single-line word salad)."""
+    d = read_table(spark, sf, "documents")
+    lined = F.replace(F.col("text"), F.lit(" value "), F.lit("\n"))
+    return d.select(
+        "doc_id", text.repetition_ratio(lined).alias("rep_ratio")
+    )
+
+
 def q_jaccard_pairs(spark, sf):
     d = read_table(spark, sf, "documents")
     return text.jaccard_pairs(d, k=5, threshold=0.01)
@@ -1310,6 +1347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver window (first 50) ---
         # new this round (r5) — never driver-checked
+        "pii_redact": q_pii_redact,
+        "repetition_ratio": q_repetition_ratio,
         "kg_sparql_path_graphvar": q_kg_sparql_path_graphvar,
         "kg_sparql_subquery_minus": q_kg_sparql_subquery_minus,
         "kg_sparql_optbind": q_kg_sparql_optbind,
@@ -1952,6 +1991,43 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(LENGTH(text), 1)) * 0.2,
                    6) AS quality
             FROM documents
+        """,
+        "pii_redact": """
+            WITH p AS (
+              SELECT doc_id,
+                     substr(text, 1, 40) || ' contact user'
+                     || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+                     || CAST(doc_id % 200 AS VARCHAR)
+                     || '.7 ssn 123-45-6789 tel 555-123-4567' AS pii_text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     pii_text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                     '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                     '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS redacted,
+                   len(regexp_extract_all(pii_text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(pii_text,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+                   len(regexp_extract_all(pii_text,
+                     '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+                   len(regexp_extract_all(pii_text,
+                     '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phone
+            FROM p
+        """,
+        "repetition_ratio": """
+            WITH l AS (
+              SELECT doc_id,
+                     string_split(replace(text, ' value ', chr(10)), chr(10)) AS lines
+              FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(1.0 - len(list_distinct(lines))
+                         / GREATEST(len(lines), 1)::DOUBLE, 6) AS rep_ratio
+            FROM l
         """,
         "langid": """
             WITH s AS (

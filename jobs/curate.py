@@ -19,7 +19,9 @@ Operators:
   simhash    SimHash near-dup pairs (hamming-verified)       → simhash/
   cosine     embedding-cosine near-dup pairs (LSH-blocked)   → cosine/
   annotate   per-doc langid / quality / token counts /
-             fingerprint annotations                         → annotate/
+             fingerprint / repetition / PII annotations      → annotate/
+  redact     documents with PII-shaped spans replaced by
+             typed placeholders (<EMAIL> <IP> <SSN> <PHONE>) → redact/
 
 Prints one JSON line per operator: rows written, wall seconds, output
 path — the same one-line-JSON contract as build.py.
@@ -54,7 +56,8 @@ def main() -> int:
     ap.add_argument("--embeddings", help="parquet path of the embeddings table")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--ops", default="exact,annotate",
-                    help="comma list: exact,jaccard,minhash,simhash,cosine,annotate")
+                    help="comma list: exact,jaccard,minhash,simhash,cosine,"
+                    "annotate,redact")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--vec-id-col", default="vec_id")
@@ -80,11 +83,13 @@ def main() -> int:
     args = ap.parse_args()
 
     ops = [o.strip() for o in args.ops.split(",") if o.strip()]
-    known = {"exact", "jaccard", "minhash", "simhash", "cosine", "annotate"}
+    known = {"exact", "jaccard", "minhash", "simhash", "cosine", "annotate",
+             "redact"}
     bad = set(ops) - known
     if bad:
         ap.error(f"unknown ops {sorted(bad)}; pick from {sorted(known)}")
-    doc_ops = {"exact", "jaccard", "minhash", "simhash", "annotate"} & set(ops)
+    doc_ops = {"exact", "jaccard", "minhash", "simhash", "annotate",
+               "redact"} & set(ops)
     if doc_ops and not args.docs:
         ap.error(f"--docs is required for {sorted(doc_ops)}")
     if "cosine" in ops and not args.embeddings:
@@ -104,6 +109,7 @@ def main() -> int:
 
     def annotate_df():
         tcol = F.col(t)
+        pii = text.pii_counts(tcol)
         return docs.select(
             F.col(i),
             text.langid(tcol).alias("lang"),
@@ -111,7 +117,14 @@ def main() -> int:
             text.token_count(tcol).alias("n_tokens"),
             text.bpe_ish_token_count(tcol).alias("n_subword_tokens"),
             text.fingerprint(tcol).alias("fingerprint"),
+            text.repetition_ratio(tcol).alias("rep_ratio"),
+            sum(pii.values()).alias("n_pii"),
         )
+
+    def redact_df():
+        # full pass-through of the documents table with the text column
+        # scrubbed in place — one codegen projection, zero shuffles
+        return docs.withColumn(t, text.redact(F.col(t)))
 
     from tripleforge import incremental
 
@@ -133,6 +146,7 @@ def main() -> int:
             em, args.vec_id_col, args.vec_col, threshold=args.cosine_threshold
         ),
         "annotate": annotate_df,
+        "redact": redact_df,
     }
     if prior_state is not None and docs is not None:
         # incremental cross-wave variants (r5): this wave vs the prior

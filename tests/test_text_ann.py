@@ -504,3 +504,62 @@ def test_minhash_refactor_parity(spark):
     expected = {(a, b) for a in range(12) for b in range(12)
                 if a < b and a % 3 == b % 3}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + repetition ratio (r5)
+# ---------------------------------------------------------------------------
+def test_redact_all_kinds(spark):
+    df = spark.createDataFrame(
+        [("mail a.b+x@ex-corp.io ip 192.168.0.1 ssn 123-45-6789 "
+          "tel 555-123-4567 end",)],
+        "t string",
+    )
+    out = df.select(text.redact(F.col("t")).alias("r")).first().r
+    assert out == "mail <EMAIL> ip <IP> ssn <SSN> tel <PHONE> end"
+
+
+def test_redact_sequential_no_double_redaction(spark):
+    """An email's dotted-digit local part is consumed by the email
+    pattern before the IP pattern runs."""
+    df = spark.createDataFrame([("x 10.0.0.1@ex.com y",)], "t string")
+    out = df.select(text.redact(F.col("t")).alias("r")).first().r
+    assert out == "x <EMAIL> y"
+
+
+def test_redact_kind_subset_and_counts(spark):
+    df = spark.createDataFrame(
+        [("a@b.co and 10.0.0.1 and 10.0.0.2",)], "t string"
+    )
+    only_ip = df.select(
+        text.redact(F.col("t"), kinds=("ipv4",)).alias("r")
+    ).first().r
+    assert only_ip == "a@b.co and <IP> and <IP>"
+    counts = text.pii_counts(F.col("t"))
+    row = df.select(
+        counts["email"].alias("e"), counts["ipv4"].alias("i"),
+        counts["ssn"].alias("s"), counts["phone"].alias("p"),
+    ).first()
+    assert (row.e, row.i, row.s, row.p) == (1, 2, 0, 0)
+
+
+def test_redact_ssn_phone_disambiguation(spark):
+    """Digit-dash shapes route to the right placeholder: 3-2-4 is SSN,
+    3-3-4 is phone; neither pattern fires inside the other."""
+    df = spark.createDataFrame([("123-45-6789 555-123-4567",)], "t string")
+    out = df.select(text.redact(F.col("t")).alias("r")).first().r
+    assert out == "<SSN> <PHONE>"
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [(0, "a\nb\na\na"), (1, "x\ny\nz"), (2, ""), (3, "q")],
+        "doc_id long, t string",
+    )
+    got = {
+        r.doc_id: r.rr
+        for r in df.select(
+            "doc_id", text.repetition_ratio(F.col("t")).alias("rr")
+        ).collect()
+    }
+    assert got == {0: 0.5, 1: 0.0, 2: 0.0, 3: 0.0}

@@ -530,3 +530,58 @@ def quality_score(col: Column) -> Column:
         + (F.lit(1.0) - digits / safe) * 0.2,
         6,
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + structural quality (r5) — the scrubbing stage of a
+# training-data curation pipeline (C4/Gopher-style preprocessing;
+# public-knowledge recipes — /root/reference is empty). Pure Catalyst:
+# a fixed regexp_replace chain, so a 100 TB scrub is one codegen
+# projection with zero shuffles, and the DuckDB oracle can mirror the
+# exact same RE2-compatible patterns (no lookarounds — DuckDB's RE2
+# lacks them; Java and RE2 agree on every construct used here).
+# ---------------------------------------------------------------------------
+
+# (kind, pattern, placeholder) in APPLICATION ORDER: email first so
+# dotted-digit local parts are consumed before the IP pattern sees
+# them; SSN before the phone pattern (both are digit-dash shapes).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact(col: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace PII-shaped spans with typed placeholders. Sequential:
+    each pattern runs over the previous pattern's output, so a span
+    consumed by an earlier kind is never double-redacted."""
+    out = col
+    for kind, pat, repl in PII_PATTERNS:
+        if kinds is None or kind in kinds:
+            out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Raw per-kind hit counts on the ORIGINAL text (pre-redaction) —
+    the filter signal for dropping PII-heavy documents. Kinds overlap
+    by design (an email's dotted digits may also count as an IP);
+    counts are per-pattern, not post-redaction."""
+    return {
+        kind: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def repetition_ratio(col: Column, sep: str = "\n") -> Column:
+    """Fraction of duplicated lines (1 − distinct/total) — the C4
+    boilerplate-repetition signal. Empty text → 0.0."""
+    lines = F.split(col, sep)
+    return F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines))
+        / F.greatest(F.size(lines), F.lit(1)).cast("double"),
+        6,
+    )
