@@ -293,6 +293,39 @@ def main() -> int:
         ],
     )
 
+    # 15 (r5). PII redaction: one codegen projection — no shuffle, no
+    # Python, no aggregation anywhere in a corpus-wide scrub
+    audit(
+        "pii_redact_single_projection",
+        em.q_pii_redact(spark, SF),
+        [
+            ("no Python eval", r"EvalPython|MapInPandas", False),
+            ("no shuffle", r"Exchange", False),
+            ("no aggregate", r"HashAggregate", False),
+        ],
+    )
+    # 16 (r5). TriX / RDF-XML writers: same two-aggregate zero-Python
+    # contract as the Turtle writer
+    from tripleforge.rdfxml_out import rdfxml_blocks
+    from tripleforge.trix_out import trix_blocks
+
+    audit(
+        "trix_writer_blocks",
+        trix_blocks(kg),
+        [
+            ("no Python eval", r"EvalPython|MapInPandas", False),
+            ("hash aggregate", r"HashAggregate", True),
+        ],
+    )
+    audit(
+        "rdfxml_writer_blocks",
+        rdfxml_blocks(kg),
+        [
+            ("no Python eval", r"EvalPython|MapInPandas", False),
+            ("hash aggregate", r"HashAggregate", True),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("# PLANS — physical-plan audit (generated by tools/audit_plans.py)\n\n")
         fh.write("Structural assertions over `.explain('formatted')` output for the\n")
