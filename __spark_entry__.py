@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tripleforge import ann, link, text
+from tripleforge import ann, graph, link, text
 from tripleforge.io import read_table
 from tripleforge.pipeline import BuildConfig, transform
 from tripleforge.query import Pattern, bgp
@@ -1333,6 +1333,50 @@ def q_multimodal_meta(spark, sf):
     )
 
 
+def _doc_edges(spark, sf):
+    """Deterministic citation-style digraph over the documents table:
+    each doc points at three arithmetically-derived neighbors mod N.
+    Same derivation is inlined in every graph oracle's `edges` CTE, so
+    the whole graph family is value-exact checkable."""
+    d = read_table(spark, sf, "documents")
+    n = F.broadcast(d.agg(F.count(F.lit(1)).alias("n")))
+    base = d.select("doc_id").crossJoin(n)
+
+    def rule(expr):
+        return base.select(
+            F.col("doc_id").alias("src"), (expr % F.col("n")).alias("dst")
+        )
+
+    return (
+        rule(F.lit(2) * F.col("doc_id") + 1)
+        .unionAll(rule(F.lit(3) * F.col("doc_id") + 2))
+        .unionAll(rule(F.col("doc_id") * F.col("doc_id") + 1))
+    )
+
+
+def q_graph_degrees(spark, sf):
+    """G1: in/out/total degree — two partial-aggregated counts + one
+    full-outer join on the node key (uniform shuffles at any scale)."""
+    return graph.degrees(_doc_edges(spark, sf))
+
+
+def q_graph_triangles(spark, sf):
+    """G2: per-node triangle participation via degree-ordered
+    compact-forward (wedges generated only at each triangle's min-rank
+    vertex → O(m^1.5) total work, hub-skew safe). The DuckDB oracle
+    enumerates the same triangles with id-ordering — the triangle SET
+    is orientation-invariant, so counts are value-exact."""
+    return graph.triangles(_doc_edges(spark, sf))
+
+
+def q_graph_pagerank(spark, sf):
+    """G3: 3-iteration dangling-aware PageRank, every round stabilized
+    to 9 decimals on both engines (summation-order proof); final
+    report at 6."""
+    pr = graph.pagerank(_doc_edges(spark, sf), iterations=3)
+    return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1347,6 +1391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver window (first 50) ---
         # new this round (r5) — never driver-checked
+        "graph_degrees": q_graph_degrees,
+        "graph_triangles": q_graph_triangles,
+        "graph_pagerank": q_graph_pagerank,
         "pii_redact": q_pii_redact,
         "repetition_ratio": q_repetition_ratio,
         "kg_sparql_path_graphvar": q_kg_sparql_path_graphvar,
@@ -1519,8 +1566,87 @@ SELECT qid, nid, ROUND(s, 6) AS sim, rnk FROM (
 """
 
 
+_GRAPH_EDGES_CTE = """
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    edges AS (
+        SELECT doc_id AS src, (2 * doc_id + 1) % n AS dst FROM documents, nn
+        UNION ALL
+        SELECT doc_id, (3 * doc_id + 2) % n FROM documents, nn
+        UNION ALL
+        SELECT doc_id, (doc_id * doc_id + 1) % n FROM documents, nn
+    )"""
+
+
+def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """Unrolled power iteration: one CTE per round, the identical
+    recurrence (9-decimal per-round stabilization) as graph.pagerank."""
+    sql = f"""
+        WITH {_GRAPH_EDGES_CTE},
+        nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        base AS (
+            SELECT nodes.node, COALESCE(od.out_deg, 0) AS out_deg
+            FROM nodes LEFT JOIN (
+                SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY src
+            ) od ON nodes.node = od.node),
+        ncount AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+        r0 AS (SELECT node, out_deg, ROUND(1.0 / n_nodes, 9) AS pr
+               FROM base, ncount)"""
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        sql += f""",
+        r{i} AS (
+            SELECT b.node, b.out_deg,
+                   ROUND((1 - {damping}) / nc.n_nodes
+                         + {damping} * (COALESCE(c.in_sum, 0)
+                                        + d.dangling / nc.n_nodes), 9) AS pr
+            FROM base b
+            LEFT JOIN (
+                SELECT e.dst AS node, SUM(r.pr / r.out_deg) AS in_sum
+                FROM {p} r JOIN edges e ON r.node = e.src
+                WHERE r.out_deg > 0 GROUP BY e.dst
+            ) c ON b.node = c.node
+            CROSS JOIN (
+                SELECT COALESCE(SUM(CASE WHEN out_deg = 0 THEN pr END), 0)
+                       AS dangling FROM {p}
+            ) d
+            CROSS JOIN ncount nc)"""
+    return sql + f"""
+        SELECT node, ROUND(pr, 6) AS pr FROM r{iterations}"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- graph analytics (r5): edge CTE mirrors _doc_edges exactly
+        "graph_degrees": f"""
+            WITH {_GRAPH_EDGES_CTE},
+            od AS (SELECT src AS node, COUNT(*) AS out_deg
+                   FROM edges GROUP BY src),
+            ind AS (SELECT dst AS node, COUNT(*) AS in_deg
+                    FROM edges GROUP BY dst)
+            SELECT COALESCE(od.node, ind.node) AS node,
+                   COALESCE(out_deg, 0) AS out_deg,
+                   COALESCE(in_deg, 0) AS in_deg,
+                   COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS deg
+            FROM od FULL OUTER JOIN ind ON od.node = ind.node
+        """,
+        "graph_triangles": f"""
+            WITH {_GRAPH_EDGES_CTE},
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                                    greatest(src, dst) AS b
+                    FROM edges WHERE src <> dst),
+            tri AS (
+                SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                FROM und e1
+                JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b)
+            SELECT node, COUNT(*) AS n_tri FROM (
+                SELECT u AS node FROM tri
+                UNION ALL SELECT v FROM tri
+                UNION ALL SELECT w FROM tri
+            ) GROUP BY node
+        """,
+        "graph_pagerank": _pagerank_oracle(iterations=3, damping=0.85),
         # --- KG ops: oracles derived from the same deterministic corpus
         "kg_sparql_expr": """
             SELECT COUNT(*) AS n_docs,

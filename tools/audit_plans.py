@@ -326,6 +326,35 @@ def main() -> int:
         ],
     )
 
+    # 17 (r5). graph analytics: triangles must be pure equi-joins (the
+    # compact-forward wedge join + closing pair join — never a
+    # cartesian/BNLJ), all JVM; pagerank's only non-equi joins are the
+    # 1-row broadcast scalars (dangling mass / node count)
+    from tripleforge import graph as graph_mod
+
+    plain_edges = li.select(
+        (li["l_orderkey"] % 1000).alias("src"), li["l_suppkey"].alias("dst")
+    )
+    audit(
+        "graph_triangles_equi_joins",
+        graph_mod.triangles(plain_edges),
+        [
+            ("no Python eval", r"EvalPython|MapInPandas", False),
+            ("no cartesian product", r"CartesianProduct", False),
+            ("no broadcast nested loop", r"BroadcastNestedLoopJoin", False),
+            ("closing semi-join", r"LeftSemi", True),
+        ],
+    )
+    audit(
+        "graph_pagerank_jvm_only",
+        em.q_graph_pagerank(spark, SF),
+        [
+            ("no Python eval", r"EvalPython|MapInPandas", False),
+            ("no unbroadcast cartesian", r"CartesianProduct", False),
+            ("aggregated contributions", r"HashAggregate", True),
+        ],
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("# PLANS — physical-plan audit (generated by tools/audit_plans.py)\n\n")
         fh.write("Structural assertions over `.explain('formatted')` output for the\n")
