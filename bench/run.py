@@ -94,30 +94,48 @@ def main() -> int:
         "noisy shared host — the other level's numbers must already "
         "be in BENCH/scaling.json)",
     )
+    ap.add_argument(
+        "--modes", default="compute,full",
+        help="comma subset of compute,full — a compute-only hunt is a "
+        "~30 s timed window, much likelier to land inside an idle "
+        "co-tenant valley",
+    )
+    ap.add_argument(
+        "--corpus-dir", default=None,
+        help="reuse a pre-generated corpus parquet dir (skips the "
+        "local[32] generation step before a timed hunt)",
+    )
     args = ap.parse_args()
+    modes = tuple(m for m in args.modes.split(",") if m)
+    assert set(modes) <= {"compute", "full"} and modes
     levels = [int(x) for x in args.levels.split(",")]
     assert len(levels) == 2 and levels[1] == 4 * levels[0], "need N and 4N"
     run_levels = levels if args.only_level is None else [args.only_level]
     assert all(x in levels for x in run_levels), "--only-level must be one of --levels"
 
-    corpus_dir = tempfile.mkdtemp(prefix="tfbench_corpus_")
+    own_corpus = args.corpus_dir is None
+    corpus_dir = args.corpus_dir or tempfile.mkdtemp(prefix="tfbench_corpus_")
     results: dict[str, dict] = {}
     try:
-        n_rows = gen_corpus(corpus_dir, args.files, args.stmts)
-        print(f"corpus: {n_rows} files x {args.stmts} stmts", flush=True)
+        if own_corpus or not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+            n_rows = gen_corpus(corpus_dir, args.files, args.stmts)
+            print(f"corpus: {n_rows} files x {args.stmts} stmts", flush=True)
         for cores in run_levels:
-            comp = run_build(corpus_dir, cores, f"c{cores}", compute_only=True)
-            full = run_build(corpus_dir, cores, f"f{cores}")
-            results[str(cores)] = {"compute": comp, "full": full}
-            print(
-                f"local[{cores}]: compute {comp['triples_per_sec']}/s "
-                f"(runs {comp['all_runs']}); "
-                f"full-build {full['triples_per_sec']}/s "
-                f"(runs {full['all_runs']})",
-                flush=True,
-            )
+            results[str(cores)] = {}
+            for mode in modes:
+                r = run_build(
+                    corpus_dir, cores, f"{mode[0]}{cores}",
+                    compute_only=(mode == "compute"),
+                )
+                results[str(cores)][mode] = r
+                print(
+                    f"local[{cores}]: {mode} {r['triples_per_sec']}/s "
+                    f"(runs {r['all_runs']})",
+                    flush=True,
+                )
     finally:
-        shutil.rmtree(corpus_dir, ignore_errors=True)
+        if own_corpus:
+            shutil.rmtree(corpus_dir, ignore_errors=True)
 
     # load any prior recording FIRST — --only-level needs the other
     # level's numbers from it before the pair can even be constructed
@@ -139,14 +157,18 @@ def main() -> int:
     )
 
     lo, hi = str(levels[0]), str(levels[1])
-    if args.only_level is not None:
+    session_record = {lvl: dict(md) for lvl, md in results.items()}
+    if args.only_level is not None or set(modes) != {"compute", "full"}:
         assert prior_matches, (
-            "--only-level needs a prior pair with the same input in "
-            "BENCH/scaling.json to supply the other level's numbers"
+            "--only-level / --modes hunts need a prior pair with the "
+            "same input in BENCH/scaling.json to supply the numbers "
+            "not re-measured this session"
         )
         for lvl in (lo, hi):
-            if lvl not in results:
-                results[lvl] = prior["runs"][lvl]
+            results.setdefault(lvl, {})
+            for mode in ("compute", "full"):
+                if mode not in results[lvl]:
+                    results[lvl][mode] = prior["runs"][lvl][mode]
     thr = {
         mode: (results[lo][mode]["triples_per_sec"], results[hi][mode]["triples_per_sec"])
         for mode in ("compute", "full")
@@ -173,9 +195,7 @@ def main() -> int:
         # keep every session's raw runs (co-tenant noise defense on
         # this shared host; a single contended session must never
         # overwrite a cleaner one)
-        sessions = prior.get("sessions", [prior["runs"]]) + [
-            {str(l): results[str(l)] for l in run_levels}
-        ]
+        sessions = prior.get("sessions", [prior["runs"]]) + [session_record]
         for mode_key in ("compute_throughput", "full_build_throughput"):
             for lvl in (lo, hi):
                 pair[mode_key][lvl] = max(
@@ -193,7 +213,7 @@ def main() -> int:
         pair["runs"] = {
             lvl: {
                 mode: max(
-                    (s[lvl][mode] for s in sessions if lvl in s),
+                    (s[lvl][mode] for s in sessions if lvl in s and mode in s[lvl]),
                     key=lambda r: r["triples_per_sec"],
                 )
                 for mode in ("compute", "full")

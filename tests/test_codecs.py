@@ -14,10 +14,14 @@ import pytest
 
 from tripleforge.codecs import (
     CodecError,
+    _lzw_decode,
+    _lzw_encode,
     audio_features,
+    decode_gif,
     decode_payload,
     decode_png,
     decode_wav,
+    encode_gif,
     encode_png,
     encode_wav,
     image_features,
@@ -181,6 +185,123 @@ def test_wav_non_pcm_rejected():
     )
     with pytest.raises(CodecError, match="non-PCM"):
         decode_wav(wav)
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW)
+# ---------------------------------------------------------------------------
+def test_lzw_decode_hand_built_kwkwk():
+    """Hand-packed stream (min code size 2, clear=4, end=5, 3-bit
+    codes LSB-first): CLEAR, literal 1, code 6 — the KwKwK case where
+    the code equals next_code and must expand to prev + prev[0].
+    Codes 4,1,6,5 pack to 4 | 1<<3 | 6<<6 | 5<<9 = 2956 = b'\\x8c\\x0b'."""
+    assert _lzw_decode(b"\x8c\x0b", 2) == b"\x01\x01\x01"
+
+
+def test_lzw_invalid_code_rejected():
+    # codes 4,1,7: 7 is neither in the table nor next_code
+    with pytest.raises(CodecError, match="corrupt LZW"):
+        _lzw_decode(b"\xcc\x01", 2)
+
+
+def test_lzw_missing_end_rejected():
+    with pytest.raises(CodecError, match="without END"):
+        _lzw_decode(b"\x0c", 2)  # CLEAR, literal 1, then stream stops
+
+
+@pytest.mark.parametrize("min_code", [2, 4, 8])
+def test_lzw_roundtrip_long_stream(min_code):
+    # long enough to force several re-CLEARs at every width
+    n = 4000
+    data = bytes((i * 31 + (i >> 3)) % (1 << min_code) for i in range(n))
+    assert _lzw_decode(_lzw_encode(data, min_code), min_code) == data
+
+
+def test_gif_roundtrip():
+    h, w = 13, 9
+    idx = ((np.arange(h)[:, None] * 3 + np.arange(w)[None, :]) % 6).astype(
+        np.uint8
+    )
+    pal = (np.arange(18, dtype=np.uint8) * 7 % 256).reshape(6, 3)
+    out = decode_gif(encode_gif(idx, pal))
+    np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_gif_256_color_roundtrip():
+    idx = _rng_img(11, 32, 32)  # full 8-bit index range
+    pal = _rng_img(12, 256, 3).reshape(256, 3)
+    np.testing.assert_array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+
+
+def test_gif_interlaced_and_extension_skip():
+    """Manually assembled GIF89a: graphic-control extension before the
+    frame, interlace flag set, rows stored in pass order — decode must
+    skip the extension and de-interlace back to the original image."""
+    h, w = 11, 4
+    idx = (np.arange(h * w).reshape(h, w) % 8).astype(np.uint8)
+    pal = np.arange(24, dtype=np.uint8).reshape(8, 3)
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    stored = idx[order]
+    lzw = _lzw_encode(stored.tobytes(), 3)
+    gif = bytearray(b"GIF89a")
+    gif += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gif += bytes([0xA2, 0, 0])  # GCT present, 8 entries
+    gif += pal.tobytes()
+    gif += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+    gif += b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gif += bytes([0x40])  # interlaced, no local color table
+    gif += bytes([3])  # LZW min code size
+    for off in range(0, len(lzw), 255):
+        sub = lzw[off : off + 255]
+        gif += bytes([len(sub)]) + sub
+    gif += b"\x00\x3b"
+    np.testing.assert_array_equal(decode_gif(bytes(gif)), pal[idx])
+
+
+def test_gif_first_frame_of_animation():
+    idx1 = np.full((4, 4), 1, dtype=np.uint8)
+    idx2 = np.full((4, 4), 2, dtype=np.uint8)
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    f1 = encode_gif(idx1, pal)
+    f2 = encode_gif(idx2, pal)
+    # splice frame 2's image block (after header+LSD+GCT) before f1's
+    # trailer: header is 6+7+3*4 = 25 bytes, trailer is final "\x3b"
+    animated = f1[:-1] + f2[25:]
+    np.testing.assert_array_equal(decode_gif(animated), pal[idx1])
+
+
+def test_gif_loud_rejections():
+    idx = np.zeros((3, 3), dtype=np.uint8)
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    good = encode_gif(idx, pal)
+    with pytest.raises(CodecError, match="bad signature"):
+        decode_gif(b"GIF90a" + good[6:])
+    with pytest.raises(CodecError, match="no image frame"):
+        decode_gif(good[:25] + b"\x3b")  # header + GCT, frame stripped
+    with pytest.raises(CodecError, match="index beyond palette"):
+        encode_gif(np.full((2, 2), 5, dtype=np.uint8), pal)
+    # header-only sniffing fixture (synth_media) must stay decodable-
+    # rejected, not crash: no color table, no frame
+    with pytest.raises(CodecError, match="no image frame"):
+        decode_gif(
+            b"GIF89a" + (5).to_bytes(2, "little") + (4).to_bytes(2, "little")
+            + bytes([0, 0, 0]) + b"\x3b"
+        )
+
+
+def test_gif_decode_payload_dispatch():
+    idx = (np.arange(36, dtype=np.uint8).reshape(6, 6)) % 4
+    pal = np.array(
+        [[0, 0, 0], [85, 85, 85], [170, 170, 170], [255, 255, 255]],
+        dtype=np.uint8,
+    )
+    f = decode_payload(encode_gif(idx.astype(np.uint8), pal), dim=4)
+    np.testing.assert_allclose(
+        f, image_features(pal[idx].astype(np.float64), 4)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -11,13 +11,14 @@ SOF segments, PNG IHDR, GIF logical screen descriptor, RIFF/WAVE fmt +
 data chunks, RIFF/WEBP VP8x, MP3 ID3/frame-sync, MP4 ftyp), no codec
 library needed.
 
-r5b: DECODE is real too for PNG and WAV-PCM (``tripleforge.codecs``:
-zlib/struct are stdlib, the env needs no image/audio library for
-those) — ``extract_features`` produces genuine pixel/sample-derived
-features for them. JPEG/GIF/MP4 decoding still needs codec libraries
-the container lacks: those payloads raise unless ``fake=True``
-selects the deterministic digest-seeded fallback vector, which keeps
-the end-to-end plumbing testable for every format.
+r5b: DECODE is real too for PNG, GIF, and WAV-PCM
+(``tripleforge.codecs``: zlib/struct are stdlib and LZW is ~50 lines,
+the env needs no image/audio library for those) — ``extract_features``
+produces genuine pixel/sample-derived features for them. JPEG/MP4
+decoding still needs codec libraries the container lacks (DCT/H.26x):
+those payloads raise unless ``fake=True`` selects the deterministic
+digest-seeded fallback vector, which keeps the end-to-end plumbing
+testable for every format.
 """
 
 from __future__ import annotations
@@ -266,18 +267,29 @@ def synth_media(docs: DataFrame) -> DataFrame:
 
 
 def synth_decodable_media(docs: DataFrame) -> DataFrame:
-    """REAL decodable fixtures (r5b): even doc_id → an RGB PNG whose
-    pixels are a deterministic doc_id-seeded gradient, odd → a 16-bit
-    PCM WAV sine burst. Every payload round-trips exactly through
+    """REAL decodable fixtures (r5b): even doc_id → an RGB image whose
+    pixels are a deterministic doc_id-seeded gradient (PNG, or a
+    paletted GIF when doc_id % 4 == 2), odd → a 16-bit PCM WAV sine
+    burst. Every payload round-trips exactly through
     tripleforge.codecs, so feature tests assert genuine decode."""
-    from tripleforge.codecs import encode_png, encode_wav
+    from tripleforge.codecs import encode_gif, encode_png, encode_wav
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 did, nch = int(doc_id), int(n_chars)
-                if did % 2 == 0:
+                if did % 4 == 2:
+                    h, w = 8 + did % 5, 8 + did % 7
+                    i = np.arange(h)[:, None]
+                    j = np.arange(w)[None, :]
+                    idx = ((i * 5 + j * 11 + did) % 16).astype(np.uint8)
+                    pal = (
+                        (np.arange(16)[:, None] * np.array([13, 29, 47]) + did)
+                        % 256
+                    ).astype(np.uint8)
+                    payloads.append(encode_gif(idx, pal))
+                elif did % 2 == 0:
                     h, w = 8 + did % 5, 8 + did % 7
                     i = np.arange(h)[:, None, None]
                     j = np.arange(w)[None, :, None]
@@ -319,8 +331,8 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
 
 
 def decode_stub(payload: bytes, kind: str, dim: int = 16, fake: bool = False) -> np.ndarray:
-    """Real decode where a pure-stdlib codec exists (PNG, WAV-PCM via
-    tripleforge.codecs); otherwise the deterministic digest-seeded
+    """Real decode where a pure-stdlib codec exists (PNG, GIF, WAV-PCM
+    via tripleforge.codecs); otherwise the deterministic digest-seeded
     fallback with ``fake=True``, or a loud error without it."""
     from tripleforge.codecs import CodecError, decode_payload
 
@@ -329,18 +341,18 @@ def decode_stub(payload: bytes, kind: str, dim: int = 16, fake: bool = False) ->
     except CodecError:
         if not fake:
             raise NotImplementedError(
-                "no pure-stdlib codec for this payload (JPEG/GIF/MP4 need "
+                "no pure-stdlib codec for this payload (JPEG/MP4 need "
                 "PIL/ffmpeg, absent from this container) and it is not a "
-                "decodable PNG/WAV; pass fake=True for the deterministic "
-                "fallback feature vector"
+                "decodable PNG/GIF/WAV; pass fake=True for the "
+                "deterministic fallback feature vector"
             )
         return _fake_decode(payload, dim)
 
 
 def extract_features(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over the binary payloads:
-    REAL decoded features for PNG/WAV payloads, digest-seeded fallback
-    for codec-less formats when ``fake=True``.
+    REAL decoded features for PNG/GIF/WAV payloads, digest-seeded
+    fallback for codec-less formats when ``fake=True``.
 
     One mapInPandas pass; batch shape = pandas frame with a bytes
     column. Narrow (partition-preserving): no shuffle — at 100 TB the
