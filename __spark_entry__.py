@@ -695,6 +695,32 @@ def q_kg_sparql_aggexpr(spark, sf):
     ).select("src", F.col("w").cast("long").alias("w"))
 
 
+def q_kg_sparql_groupexpr(spark, sf):
+    """SELECT expressions over groups (r5i, §18.2.4.2): an expression
+    CONTAINING aggregate calls (mean = SUM/COUNT), one over the group
+    key, and one referencing an earlier SELECT alias — all evaluated
+    post-aggregate in one plan, previously a loud rejection."""
+    from tripleforge import sparql
+
+    stmts = _kg_statements(spark, sf)
+    return sparql.select(
+        stmts,
+        """
+        SELECT (CONCAT(STR(?src), "!") AS ?tag)
+               (SUM(?n) AS ?t)
+               (SUM(?n) / COUNT(?n) AS ?mean)
+               (?t + 1 AS ?t1)
+        WHERE { ?d <urn:p:source> ?src . ?d <urn:p:nchars> ?n }
+        GROUP BY ?src
+        """,
+    ).select(
+        "tag",
+        F.col("t").cast("long").alias("t"),
+        F.round("mean", 6).alias("mean"),
+        F.col("t1").cast("long").alias("t1"),
+    )
+
+
 def _ts_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One xsd:dateTime triple per event — exercises dateTime literal
     parsing + canonicalization and the §17.4.5 accessor functions."""
@@ -1394,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
+        "kg_sparql_groupexpr": q_kg_sparql_groupexpr,
         "pii_redact": q_pii_redact,
         "repetition_ratio": q_repetition_ratio,
         "kg_sparql_path_graphvar": q_kg_sparql_path_graphvar,
@@ -1647,6 +1674,14 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY node
         """,
         "graph_pagerank": _pagerank_oracle(iterations=3, damping=0.85),
+        "kg_sparql_groupexpr": """
+            SELECT 'urn:src:' || source || '!' AS tag,
+                   CAST(SUM(n_chars) AS BIGINT) AS t,
+                   ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars), 6)
+                       AS mean,
+                   CAST(SUM(n_chars) + 1 AS BIGINT) AS t1
+            FROM documents GROUP BY source
+        """,
         # --- KG ops: oracles derived from the same deterministic corpus
         "kg_sparql_expr": """
             SELECT COUNT(*) AS n_docs,

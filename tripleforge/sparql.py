@@ -796,12 +796,20 @@ def _compile_select(
     if mods["having"] is not None and not (aggs or mods["group_by"]):
         raise SparqlError("HAVING requires GROUP BY / aggregates")
     drop_after_order: list[str] = []
-    if aggs or mods["group_by"]:
-        if exprprojs:
-            raise SparqlError(
-                "expression projections are not supported together with "
-                "aggregates/GROUP BY"
-            )
+    def _has_aggfn(tree) -> bool:
+        if not isinstance(tree, tuple):
+            return False
+        if tree[0] == "aggfn":
+            return True
+        return any(
+            _has_aggfn(x)
+            for a in tree[1:]
+            for x in (a if isinstance(a, list) else [a])
+        )
+
+    # an expression projection CONTAINING an aggregate call makes the
+    # query an (implicitly grouped) aggregate query too (r5i)
+    if aggs or mods["group_by"] or any(_has_aggfn(it[2]) for it in exprprojs):
         # expression group conditions materialize as alias columns
         # ahead of the aggregate (SPARQL §19.8 GroupCondition)
         group: list[str] = []
@@ -835,19 +843,47 @@ def _compile_select(
                 key = ("expr", _extract_having_aggs(key[1], extra_aggs))
             new_ob.append((key, asc_))
         mods["order_by"] = new_ob
+        # SELECT expressions over groups (r5i, §18.2.4.2): aggregate
+        # calls inside the expression become synthesized aggregate
+        # columns exactly like HAVING's; the residual expression is
+        # evaluated over the grouped result below
+        grouped_exprprojs = [
+            (it[1], _extract_having_aggs(it[2], extra_aggs)) for it in exprprojs
+        ]
         agg_exprs = [_compile_agg(it, pre_bound) for it in aggs] + [
             _compile_agg(it, pre_bound) for it in extra_aggs
         ]
         if not agg_exprs:
-            raise SparqlError("GROUP BY without any aggregate projection")
-        out = out.groupBy(*group).agg(*agg_exprs) if group else out.agg(*agg_exprs)
+            if not group:
+                raise SparqlError("GROUP BY without any aggregate projection")
+            # grouping with no aggregate anywhere (SELECT expressions
+            # over keys only) = one row per group
+            out = out.select(*group).dropDuplicates()
+        else:
+            out = out.groupBy(*group).agg(*agg_exprs) if group else out.agg(*agg_exprs)
+        avail = set(group) | {it[4] for it in aggs} | {a[4] for a in extra_aggs}
+        for alias, tree in grouped_exprprojs:
+            if alias in avail:
+                raise SparqlError(f"projection alias ?{alias} is already bound")
+            bad = _expr_vars(tree) - avail
+            if bad:
+                raise SparqlError(
+                    "SELECT expression over a grouped query may only "
+                    f"reference GROUP BY keys, aggregates, or earlier "
+                    f"aliases — not ?{sorted(bad)[0]}"
+                )
+            col, _ = _compile_expr(tree, set(out.columns))
+            out = out.withColumn(alias, col)
+            avail.add(alias)
         if htree is not None:
             # HAVING sees the aggregate aliases as bound variables
             col, typ = _compile_expr(htree, set(out.columns))
             out = out.where(_as_bool(col, typ))
         # project in the user's order, carrying synthesized sort-key
         # aggregates through to ORDER BY (dropped after sorting)
-        names = [it[1] if it[0] == "var" else it[4] for it in projected]
+        names = [
+            it[4] if it[0] == "agg" else it[1] for it in projected
+        ]
         drop_after_order.extend(a[4] for a in extra_aggs)
         out = out.select(*names, *drop_after_order)
     elif projected:

@@ -236,8 +236,16 @@ def _parse_select_cursor(c: _Cursor) -> tuple[list[tuple], list[tuple], dict, bo
                 and t1[1].upper() in _AGG_FNS
                 and t2 == ("PUNCT", "(")
             ):
-                projected.append(_parse_agg_projection(c))
-                continue
+                # '(AGG(...) AS ?v)' is the plain aggregate projection;
+                # '(AGG(...) op ... AS ?v)' is an expression projection
+                # CONTAINING an aggregate (r5i) — try the plain form,
+                # fall back to expression parse on mismatch
+                mark = c.i
+                try:
+                    projected.append(_parse_agg_projection(c))
+                    continue
+                except SparqlError:
+                    c.i = mark
             c.next()  # '('
             tree = _parse_expression(c)
             if not _kw(c.next(), "AS"):
