@@ -1395,6 +1395,13 @@ def q_graph_triangles(spark, sf):
     return graph.triangles(_doc_edges(spark, sf))
 
 
+def q_graph_lcc(spark, sf):
+    """G4: local clustering coefficient = 2·tri/(deg·(deg−1)) over the
+    undirected simple graph — one node-keyed join over the shared
+    triangle/degree subplans; 9-decimal stabilization like pagerank."""
+    return graph.clustering_coefficient(_doc_edges(spark, sf))
+
+
 def q_graph_pagerank(spark, sf):
     """G3: 3-iteration dangling-aware PageRank, every round stabilized
     to 9 decimals on both engines (summation-order proof); final
@@ -1419,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round (r5) — never driver-checked
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
+        "graph_lcc": q_graph_lcc,
         "graph_pagerank": q_graph_pagerank,
         "kg_sparql_groupexpr": q_kg_sparql_groupexpr,
         "pii_redact": q_pii_redact,
@@ -1674,6 +1682,31 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY node
         """,
         "graph_pagerank": _pagerank_oracle(iterations=3, damping=0.85),
+        "graph_lcc": f"""
+            WITH {_GRAPH_EDGES_CTE},
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                                    greatest(src, dst) AS b
+                    FROM edges WHERE src <> dst),
+            deg AS (SELECT node, COUNT(*) AS udeg FROM (
+                        SELECT a AS node FROM und
+                        UNION ALL SELECT b FROM und) GROUP BY node),
+            tri AS (
+                SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                FROM und e1
+                JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            pn AS (SELECT node, COUNT(*) AS n_tri FROM (
+                       SELECT u AS node FROM tri
+                       UNION ALL SELECT v FROM tri
+                       UNION ALL SELECT w FROM tri) GROUP BY node)
+            SELECT d.node, d.udeg,
+                   COALESCE(pn.n_tri, 0) AS n_tri,
+                   CASE WHEN d.udeg < 2 THEN 0.0
+                        ELSE ROUND(2.0 * COALESCE(pn.n_tri, 0)
+                                   / (d.udeg * (d.udeg - 1)), 9)
+                   END AS lcc
+            FROM deg d LEFT JOIN pn ON d.node = pn.node
+        """,
         "kg_sparql_groupexpr": """
             SELECT 'urn:src:' || source || '!' AS tag,
                    CAST(SUM(n_chars) AS BIGINT) AS t,

@@ -65,6 +65,7 @@ HEADLINE = [
     "ann_bruteforce",
     "ann_lsh",
     "quality_score",
+    "graph_triangles",
 ]
 
 

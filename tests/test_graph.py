@@ -59,6 +59,34 @@ def test_triangles_hub_star_plus_triangle(spark):
     assert rows == {100: 1, 101: 1, 102: 1}
 
 
+def test_clustering_coefficient_k4(spark):
+    nodes = [1, 2, 3, 4]
+    e = _edges(spark, [(a, b) for a in nodes for b in nodes if a < b])
+    rows = {r["node"]: r for r in graph.clustering_coefficient(e).collect()}
+    for v in nodes:
+        assert rows[v]["udeg"] == 3
+        assert rows[v]["n_tri"] == 3
+        assert rows[v]["lcc"] == 1.0
+
+
+def test_clustering_coefficient_path_and_leaf(spark):
+    # path 1-2-3: middle node has deg 2, no triangle -> lcc 0;
+    # leaves have deg 1 -> defined as 0
+    e = _edges(spark, [(1, 2), (2, 3)])
+    rows = {r["node"]: r for r in graph.clustering_coefficient(e).collect()}
+    assert rows[2]["udeg"] == 2 and rows[2]["lcc"] == 0.0
+    assert rows[1]["udeg"] == 1 and rows[1]["lcc"] == 0.0
+
+
+def test_clustering_coefficient_open_wedge(spark):
+    # triangle 1-2-3 plus pendant edge 3-4: node 3 has deg 3, 1 tri
+    # -> lcc = 2*1/(3*2) = 1/3
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    rows = {r["node"]: r for r in graph.clustering_coefficient(e).collect()}
+    assert rows[3]["lcc"] == pytest.approx(1 / 3, abs=1e-9)
+    assert rows[1]["lcc"] == 1.0 and rows[4]["lcc"] == 0.0
+
+
 def _pagerank_py(edges, iterations=3, damping=0.85):
     """Independent reference: identical recurrence incl. the 9-decimal
     per-round stabilization."""

@@ -100,12 +100,19 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     generate deg² wedges.
     """
     und = _undirected(edges, src, dst)
-    deg = (
+    return _triangles_from(und, _udeg(und))
+
+
+def _udeg(und: DataFrame) -> DataFrame:
+    return (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("udeg"))
     )
+
+
+def _triangles_from(und: DataFrame, deg: DataFrame) -> DataFrame:
     ranked = (
         und.join(deg.withColumnsRenamed({"node": "a", "udeg": "da"}), "a")
         .join(deg.withColumnsRenamed({"node": "b", "udeg": "db"}), "b")
@@ -137,6 +144,33 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
         .unionAll(tri.select(F.col("w").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient over the undirected simple graph:
+    c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 where deg < 2 —
+    → (node, udeg, n_tri, lcc).  Reuses the compact-forward triangle
+    count and one undirected-degree aggregate; the extra cost over
+    `triangles` is a single node-keyed join."""
+    und = _undirected(edges, src, dst)
+    deg = _udeg(und)
+    tri = _triangles_from(und, deg)
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "udeg",
+        F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+        F.when(
+            F.col("udeg") < 2, F.lit(0.0)
+        ).otherwise(
+            F.round(
+                2.0 * F.coalesce("n_tri", F.lit(0))
+                / (F.col("udeg") * (F.col("udeg") - 1)),
+                9,
+            )
+        ).alias("lcc"),
     )
 
 
