@@ -1281,6 +1281,36 @@ def q_repetition_ratio(spark, sf):
     )
 
 
+def q_gopher_rules(spark, sf):
+    """F18: Gopher quality-rule bundle (Rae et al. 2021) — the corpus
+    is single-line word salad, so line breaks / bullets / ellipses /
+    symbols are injected deterministically from doc_id before the
+    rules run; the oracle replicates the derivation and every rule in
+    DuckDB list comprehensions."""
+    d = read_table(spark, sf, "documents")
+    lined = F.replace(F.col("text"), F.lit(" value "), F.lit("\n"))
+    gtext = F.concat(
+        lined,
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("\n- bullet item\nto be continued..."),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" ###")).otherwise(F.lit("")),
+    )
+    rules = text.gopher_rules(gtext)
+    return d.select(
+        "doc_id",
+        rules["word_count"].alias("word_count"),
+        F.round(rules["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(rules["alpha_word_ratio"], 6).alias("alpha_word_ratio"),
+        F.round(rules["symbol_word_ratio"], 6).alias("symbol_word_ratio"),
+        F.round(rules["bullet_line_ratio"], 6).alias("bullet_line_ratio"),
+        F.round(rules["ellipsis_line_ratio"], 6).alias("ellipsis_line_ratio"),
+        rules["stopword_hits"].alias("stopword_hits"),
+        rules["keep"].alias("keep"),
+    )
+
+
 def q_jaccard_pairs(spark, sf):
     d = read_table(spark, sf, "documents")
     return text.jaccard_pairs(d, k=5, threshold=0.01)
@@ -1429,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc": q_graph_lcc,
         "graph_pagerank": q_graph_pagerank,
         "kg_sparql_groupexpr": q_kg_sparql_groupexpr,
+        "gopher_rules": q_gopher_rules,
         "pii_redact": q_pii_redact,
         "repetition_ratio": q_repetition_ratio,
         "kg_sparql_path_graphvar": q_kg_sparql_path_graphvar,
@@ -1706,6 +1737,60 @@ def oracle_sql() -> dict[str, str]:
                                    / (d.udeg * (d.udeg - 1)), 9)
                    END AS lcc
             FROM deg d LEFT JOIN pn ON d.node = pn.node
+        """,
+        "gopher_rules": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     replace(text, ' value ', chr(10))
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || '- bullet item' || chr(10)
+                                  || 'to be continued...'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' ###' ELSE '' END
+                         AS t
+              FROM documents),
+            m AS (
+              SELECT doc_id, t,
+                     string_split(
+                         trim(regexp_replace(lower(t), '\s+', ' ', 'g')),
+                         ' ') AS words,
+                     string_split(t, chr(10)) AS lines
+              FROM g),
+            s AS (
+              SELECT doc_id,
+                     len(words) AS wc, len(lines) AS lc,
+                     CASE WHEN len(words) > 0 THEN
+                       list_sum(list_transform(words, x -> length(x)))::DOUBLE
+                       / len(words) ELSE 0 END AS mwl,
+                     CASE WHEN len(words) > 0 THEN
+                       len(list_filter(words,
+                           x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                       / len(words) ELSE 0 END AS awr,
+                     CASE WHEN len(words) > 0 THEN
+                       len(regexp_extract_all(t, '#|\.\.\.|…'))::DOUBLE
+                       / len(words) ELSE 0 END AS swr,
+                     len(list_filter(lines,
+                         l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+                       / len(lines) AS blr,
+                     len(list_filter(lines,
+                         l -> regexp_matches(trim(l), '(\.\.\.|…)$')))::DOUBLE
+                       / len(lines) AS elr,
+                     len(list_filter(
+                         ['the','be','to','of','and','that','have','with'],
+                         sw -> list_contains(words, sw))) AS sh
+              FROM m)
+            SELECT doc_id,
+                   wc AS word_count,
+                   ROUND(mwl, 6) AS mean_word_len,
+                   ROUND(awr, 6) AS alpha_word_ratio,
+                   ROUND(swr, 6) AS symbol_word_ratio,
+                   ROUND(blr, 6) AS bullet_line_ratio,
+                   ROUND(elr, 6) AS ellipsis_line_ratio,
+                   sh AS stopword_hits,
+                   (wc BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+                    AND swr < 0.1 AND blr < 0.9 AND elr < 0.3
+                    AND awr > 0.8 AND sh >= 2) AS keep
+            FROM s
         """,
         "kg_sparql_groupexpr": """
             SELECT 'urn:src:' || source || '!' AS tag,

@@ -578,6 +578,80 @@ def pii_counts(col: Column) -> dict[str, Column]:
     }
 
 
+# the 8-word Gopher stopword set (Rae et al. 2021, §A1.1: a document
+# must contain >= 2 of these to pass the "stop word" rule)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(col: Column) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021 — the
+    standard pre-training corpus filter bundle), all pure Catalyst
+    higher-order array functions over one split — zero shuffles, zero
+    Python, linear scan like quality_score:
+
+    - word_count, mean_word_len
+    - alpha_word_ratio  (fraction of words containing a letter)
+    - symbol_word_ratio (# and ellipsis occurrences per word)
+    - bullet_line_ratio / ellipsis_line_ratio (over raw lines)
+    - stopword_hits     (count of the 8 Gopher stop words present)
+    - keep              (the conjunction of the published thresholds:
+      50 <= words <= 100k, 3 <= mean_word_len <= 10,
+      symbol_word_ratio < 0.1, bullet_line_ratio < 0.9,
+      ellipsis_line_ratio < 0.3, alpha_word_ratio > 0.8,
+      stopword_hits >= 2)
+    """
+    ws = tokens(col)
+    wc = F.size(ws)
+    wc_d = wc.cast("double")
+    mean_wl = F.when(
+        wc > 0,
+        F.aggregate(
+            ws, F.lit(0.0), lambda acc, w: acc + F.length(w)
+        ) / wc_d,
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        wc > 0,
+        F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))) / wc_d,
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        wc > 0,
+        F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\.|…"), 0)) / wc_d,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda sw: F.array_contains(ws, sw),
+        )
+    )
+    lines = F.split(col, "\n")
+    lc_d = F.size(lines).cast("double")
+    bullet_ratio = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    ) / lc_d
+    ellipsis_ratio = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+    ) / lc_d
+    keep = (
+        wc.between(50, 100_000)
+        & mean_wl.between(3.0, 10.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_ratio < 0.9)
+        & (ellipsis_ratio < 0.3)
+        & (alpha_ratio > 0.8)
+        & (stop_hits >= 2)
+    )
+    return {
+        "word_count": wc,
+        "mean_word_len": mean_wl,
+        "alpha_word_ratio": alpha_ratio,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_ratio": bullet_ratio,
+        "ellipsis_line_ratio": ellipsis_ratio,
+        "stopword_hits": stop_hits,
+        "keep": keep,
+    }
+
+
 def repetition_ratio(col: Column, sep: str = "\n") -> Column:
     """Fraction of duplicated lines (1 − distinct/total) — the C4
     boilerplate-repetition signal. Empty text → 0.0."""
