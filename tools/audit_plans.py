@@ -326,6 +326,17 @@ def main() -> int:
         ],
     )
 
+    # 16b (r5). Gopher rules: one codegen projection like pii_redact —
+    # an entire corpus-quality pass with no shuffle and no Python
+    audit(
+        "gopher_rules_single_projection",
+        em.q_gopher_rules(spark, SF),
+        [
+            ("no Python eval", r"EvalPython|MapInPandas", False),
+            ("no shuffle", r"Exchange", False),
+            ("no aggregate", r"HashAggregate", False),
+        ],
+    )
     # 17 (r5). graph analytics: triangles must be pure equi-joins (the
     # compact-forward wedge join + closing pair join — never a
     # cartesian/BNLJ), all JVM; pagerank's only non-equi joins are the
