@@ -28,8 +28,11 @@ now adjudicates itself):
   means the whole run was taken under co-tenant load and its absolute
   numbers should not be compared across rounds.
 - **Reference deltas**: every query compares against the committed
-  idle reference (``BENCH/headline_reference.json``, captured at
-  load < 0.3) with tolerance ×1.4 (observed co-tenant swings are
+  idle reference (``BENCH/headline_reference.json`` — a COMPOSITE:
+  per-query MIN across every capture session, maintained by
+  ``tools/merge_headline_reference.py`` with per-query provenance;
+  same best-of-sessions discipline as BENCH/scaling.json) with
+  tolerance ×1.4 (observed co-tenant swings are
   2-3×; genuine code regressions in r1-r4 history were ≥1.5×).
   ``reference_delta`` holds per-query ratios; ``regressions`` lists
   queries past tolerance — trustworthy when ``load_gate`` is clean,
