@@ -1410,6 +1410,33 @@ def _doc_edges(spark, sf):
     )
 
 
+def _doc_edges_clustered(spark, sf):
+    """Edge derivation whose component structure is known by
+    construction: dst = (src + 50) % n and (src + 100) % n preserve
+    the residue class mod gcd(50, n), so n = 500 → 50 ring components
+    of 10 (sf0.1's n = 5000 → 50 of 100). Inlined identically in the
+    wcc oracle."""
+    d = read_table(spark, sf, "documents")
+    n = F.broadcast(d.agg(F.count(F.lit(1)).alias("n")))
+    base = d.select("doc_id").crossJoin(n)
+
+    def rule(step):
+        return base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + F.lit(step)) % F.col("n")).alias("dst"),
+        )
+
+    return rule(50).unionAll(rule(100))
+
+
+def q_graph_wcc(spark, sf):
+    """G5: weakly connected components over the clustered doc graph —
+    reuses the A16 hybrid CC (driver union-find / large-small-star);
+    the DuckDB oracle computes the same components with a recursive
+    reachability CTE + MIN label (exact, label-invariant)."""
+    return graph.wcc(_doc_edges_clustered(spark, sf))
+
+
 def q_graph_degrees(spark, sf):
     """G1: in/out/total degree — two partial-aggregated counts + one
     full-outer join on the node key (uniform shuffles at any scale)."""
@@ -1457,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
         "graph_lcc": q_graph_lcc,
+        "graph_wcc": q_graph_wcc,
         "graph_pagerank": q_graph_pagerank,
         "kg_sparql_groupexpr": q_kg_sparql_groupexpr,
         "gopher_rules": q_gopher_rules,
@@ -1713,6 +1741,36 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY node
         """,
         "graph_pagerank": _pagerank_oracle(iterations=3, damping=0.85),
+        "graph_wcc": """
+            WITH RECURSIVE
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            edges AS (
+                SELECT doc_id AS src, (doc_id + 50) % n AS dst
+                FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id + 100) % n FROM documents, nn
+            ),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                                    greatest(src, dst) AS b
+                    FROM edges WHERE src <> dst),
+            bidir AS (SELECT a AS x, b AS y FROM und
+                      UNION ALL SELECT b, a FROM und),
+            nodes AS (SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)),
+            reach(a, b) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT reach.a, bidir.y
+                FROM reach JOIN bidir ON reach.b = bidir.x
+            ),
+            comp AS (SELECT a AS node, MIN(b) AS component
+                     FROM reach GROUP BY a),
+            sizes AS (SELECT component, COUNT(*) AS component_size
+                      FROM comp GROUP BY component)
+            SELECT comp.node, comp.component, sizes.component_size
+            FROM comp JOIN sizes USING (component)
+        """,
         "graph_lcc": f"""
             WITH {_GRAPH_EDGES_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a,

@@ -59,6 +59,44 @@ def test_triangles_hub_star_plus_triangle(spark):
     assert rows == {100: 1, 101: 1, 102: 1}
 
 
+def test_wcc_two_components(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (7, 8)])
+    rows = {r["node"]: r for r in graph.wcc(e).collect()}
+    assert rows[1]["component"] == 1 and rows[3]["component"] == 1
+    assert rows[1]["component_size"] == 3
+    assert rows[7]["component"] == 7 and rows[8]["component_size"] == 2
+
+
+def test_wcc_direction_invariant_and_selfloop_singleton(spark):
+    # direction must not matter; a self-loop-only node is a singleton
+    e = _edges(spark, [(3, 1), (2, 3), (9, 9)])
+    rows = {r["node"]: r for r in graph.wcc(e).collect()}
+    assert rows[2]["component"] == 1 and rows[2]["component_size"] == 3
+    assert rows[9]["component"] == 9 and rows[9]["component_size"] == 1
+
+
+def test_wcc_matches_union_find(spark):
+    pairs = [(i, (i * 3 + 1) % 40) for i in range(0, 40, 2)]
+    rows = {r["node"]: r["component"] for r in graph.wcc(_edges(spark, pairs)).collect()}
+    # independent union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in {x for p in pairs for x in p}}
+    assert rows == want
+
+
 def test_clustering_coefficient_k4(spark):
     nodes = [1, 2, 3, 4]
     e = _edges(spark, [(a, b) for a in nodes for b in nodes if a < b])

@@ -174,6 +174,47 @@ def clustering_coefficient(
     )
 
 
+def wcc(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Weakly connected components → (node, component, component_size)
+    with component = the minimum node id in the component.
+
+    Reuses the engine's A16 hybrid CC (`link.connected_components`:
+    driver union-find under 10^6 edges, alternating large/small-star
+    rounds above — Kiveris et al. SoCC'14). That operator orders
+    representatives lexicographically over string terms (its IRI
+    domain), so numeric ids ride a zero-padded fixed-width encoding
+    where lexicographic min == numeric min; ids must be non-negative.
+    Nodes whose only edges are self-loops stay as singleton
+    components."""
+    und = _undirected(edges, src, dst)
+    from tripleforge.link import connected_components
+
+    pad = "%020d"
+    mapping = connected_components(
+        und.select(
+            F.format_string(pad, "a").alias("u"),
+            F.format_string(pad, "b").alias("v"),
+        )
+    ).select(
+        F.col("member").cast("long").alias("node"),
+        F.col("representative").cast("long").alias("rep"),
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    comp = nodes.join(mapping, "node", "left").select(
+        "node", F.coalesce("rep", F.col("node")).alias("component")
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return comp.join(sizes, "component").select(
+        "node", "component", "component_size"
+    )
+
+
 # ---------------------------------------------------------------------------
 # PageRank (power iteration, dangling-mass aware)
 # ---------------------------------------------------------------------------
