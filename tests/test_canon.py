@@ -233,6 +233,56 @@ def test_canon_duration(raw, expected):
     assert _canon_duration(raw) == expected
 
 
+# --- r5 completion: gMonthDay / gDay / gMonth (the rest of the XSD
+# calendar family) ---
+from tripleforge.canon import (  # noqa: E402
+    _canon_gday,
+    _canon_gmonth,
+    _canon_gmonthday,
+)
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("--12-25", "--12-25"),
+        (" --12-25Z ", "--12-25Z"),
+        ("--12-25+00:00", "--12-25Z"),
+        ("--12-25-05:00", "--12-25-05:00"),  # nonzero offset is value
+        ("--1-5", "--1-5"),  # invalid (un-padded) passes through
+        ("12-25", "12-25"),  # missing -- prefix passes through
+    ],
+)
+def test_canon_gmonthday(raw, expected):
+    assert _canon_gmonthday(raw) == expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("---07", "---07"),
+        ("---07-00:00", "---07Z"),
+        ("---07+10:00", "---07+10:00"),
+        ("--07", "--07"),  # that's a gMonth lexical, not gDay
+    ],
+)
+def test_canon_gday(raw, expected):
+    assert _canon_gday(raw) == expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("--02", "--02"),
+        ("--02+00:00", "--02Z"),
+        ("--02Z", "--02Z"),
+        ("---02", "---02"),  # gDay lexical passes through untouched
+    ],
+)
+def test_canon_gmonth(raw, expected):
+    assert _canon_gmonth(raw) == expected
+
+
 def test_canonicalize_frame_new_datatypes(spark):
     """The new datatypes ride the same masked residue path end-to-end
     (both the pandas_udf column and the Arrow table kernel)."""

@@ -299,6 +299,38 @@ def _canon_gyearmonth(lex: str) -> str:
     return f"{sign}{_canon_year(year)}-{month}{_canon_tz(tz)}"
 
 
+_GMD_RE = re.compile(r"^--(\d{2})-(\d{2})(Z|[+-]\d{2}:\d{2})?$")
+_GDAY_RE = re.compile(r"^---(\d{2})(Z|[+-]\d{2}:\d{2})?$")
+_GMONTH_RE = re.compile(r"^--(\d{2})(Z|[+-]\d{2}:\d{2})?$")
+
+
+def _canon_gmonthday(lex: str) -> str:
+    s = lex.strip()
+    m = _GMD_RE.match(s)
+    if not m:
+        return lex
+    month, day, tz = m.groups()
+    return f"--{month}-{day}{_canon_tz(tz)}"
+
+
+def _canon_gday(lex: str) -> str:
+    s = lex.strip()
+    m = _GDAY_RE.match(s)
+    if not m:
+        return lex
+    day, tz = m.groups()
+    return f"---{day}{_canon_tz(tz)}"
+
+
+def _canon_gmonth(lex: str) -> str:
+    s = lex.strip()
+    m = _GMONTH_RE.match(s)
+    if not m:
+        return lex
+    month, tz = m.groups()
+    return f"--{month}{_canon_tz(tz)}"
+
+
 def _canon_duration(lex: str) -> str:
     """XSD 1.1 duration canonical form: months carry into years,
     seconds/minutes/hours carry upward (days never convert to months);
@@ -357,6 +389,9 @@ _CANON_FNS = {
     XSD_NS + "time": _canon_time,
     XSD_NS + "gYear": _canon_gyear,
     XSD_NS + "gYearMonth": _canon_gyearmonth,
+    XSD_NS + "gMonthDay": _canon_gmonthday,
+    XSD_NS + "gDay": _canon_gday,
+    XSD_NS + "gMonth": _canon_gmonth,
     XSD_NS + "duration": _canon_duration,
     XSD_NS + "dayTimeDuration": _canon_duration,
     XSD_NS + "yearMonthDuration": _canon_duration,
