@@ -19,7 +19,8 @@ Operators:
   simhash    SimHash near-dup pairs (hamming-verified)       → simhash/
   cosine     embedding-cosine near-dup pairs (LSH-blocked)   → cosine/
   annotate   per-doc langid / quality / token counts /
-             fingerprint / repetition / PII annotations      → annotate/
+             fingerprint / repetition / PII / Gopher-rule
+             annotations                                     → annotate/
   redact     documents with PII-shaped spans replaced by
              typed placeholders (<EMAIL> <IP> <SSN> <PHONE>) → redact/
 
@@ -110,6 +111,7 @@ def main() -> int:
     def annotate_df():
         tcol = F.col(t)
         pii = text.pii_counts(tcol)
+        gopher = text.gopher_rules(tcol)
         return docs.select(
             F.col(i),
             text.langid(tcol).alias("lang"),
@@ -119,6 +121,9 @@ def main() -> int:
             text.fingerprint(tcol).alias("fingerprint"),
             text.repetition_ratio(tcol).alias("rep_ratio"),
             sum(pii.values()).alias("n_pii"),
+            gopher["keep"].alias("gopher_keep"),
+            F.round(gopher["mean_word_len"], 6).alias("mean_word_len"),
+            gopher["stopword_hits"].alias("stopword_hits"),
         )
 
     def redact_df():
