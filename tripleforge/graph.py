@@ -174,7 +174,12 @@ def clustering_coefficient(
     )
 
 
-def wcc(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def wcc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    numeric_ids: bool = True,
+) -> DataFrame:
     """Weakly connected components → (node, component, component_size)
     with component = the minimum node id in the component.
 
@@ -182,23 +187,32 @@ def wcc(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     driver union-find under 10^6 edges, alternating large/small-star
     rounds above — Kiveris et al. SoCC'14). That operator orders
     representatives lexicographically over string terms (its IRI
-    domain), so numeric ids ride a zero-padded fixed-width encoding
-    where lexicographic min == numeric min; ids must be non-negative.
-    Nodes whose only edges are self-loops stay as singleton
-    components."""
+    domain): with ``numeric_ids`` the ids ride a zero-padded
+    fixed-width encoding where lexicographic min == numeric min (ids
+    must be non-negative); with ``numeric_ids=False`` string ids (IRI
+    nodes from a KG edge projection) pass straight through and the
+    representative is the lexicographic minimum. Nodes whose only
+    edges are self-loops stay as singleton components."""
     und = _undirected(edges, src, dst)
     from tripleforge.link import connected_components
 
-    pad = "%020d"
-    mapping = connected_components(
-        und.select(
-            F.format_string(pad, "a").alias("u"),
-            F.format_string(pad, "b").alias("v"),
+    if numeric_ids:
+        pairs = und.select(
+            F.format_string("%020d", "a").alias("u"),
+            F.format_string("%020d", "b").alias("v"),
         )
-    ).select(
-        F.col("member").cast("long").alias("node"),
-        F.col("representative").cast("long").alias("rep"),
-    )
+    else:
+        pairs = und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    mapping = connected_components(pairs)
+    if numeric_ids:
+        mapping = mapping.select(
+            F.col("member").cast("long").alias("node"),
+            F.col("representative").cast("long").alias("rep"),
+        )
+    else:
+        mapping = mapping.select(
+            F.col("member").alias("node"), F.col("representative").alias("rep")
+        )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionAll(edges.select(F.col(dst).alias("node")))
