@@ -1459,6 +1459,13 @@ def q_graph_lcc(spark, sf):
     return graph.clustering_coefficient(_doc_edges(spark, sf))
 
 
+def q_graph_khop(spark, sf):
+    """G6: directed 2-hop neighborhood size — frontier expansion with
+    per-round dedup (one shuffle join per extra hop); oracle = the
+    same expansion as a one-join UNION in SQL."""
+    return graph.khop_counts(_doc_edges(spark, sf), hops=2)
+
+
 def q_graph_pagerank(spark, sf):
     """G3: 3-iteration dangling-aware PageRank, every round stabilized
     to 9 decimals on both engines (summation-order proof); final
@@ -1485,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_lcc": q_graph_lcc,
         "graph_wcc": q_graph_wcc,
+        "graph_khop": q_graph_khop,
         "graph_pagerank": q_graph_pagerank,
         "kg_sparql_groupexpr": q_kg_sparql_groupexpr,
         "gopher_rules": q_gopher_rules,
@@ -1741,6 +1749,16 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY node
         """,
         "graph_pagerank": _pagerank_oracle(iterations=3, damping=0.85),
+        "graph_khop": f"""
+            WITH {_GRAPH_EDGES_CTE},
+            e AS (SELECT DISTINCT src AS a, dst AS b FROM edges),
+            r AS (
+                SELECT a, b FROM e
+                UNION
+                SELECT x.a, y.b FROM e x JOIN e y ON x.b = y.a
+            )
+            SELECT a AS node, COUNT(*) AS n_reach FROM r GROUP BY a
+        """,
         "graph_wcc": """
             WITH RECURSIVE
             nn AS (SELECT COUNT(*) AS n FROM documents),

@@ -97,6 +97,33 @@ def test_wcc_matches_union_find(spark):
     assert rows == want
 
 
+def test_khop_path_graph(spark):
+    # 1->2->3->4: within 2 hops, 1 reaches {2,3}, 3 reaches {4}
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    rows = {r["node"]: r["n_reach"] for r in graph.khop_counts(e, hops=2).collect()}
+    assert rows == {1: 2, 2: 2, 3: 1}
+
+
+def test_khop_cycle_counts_self(spark):
+    # 2-cycle: each node reaches the other and itself within 2 hops
+    e = _edges(spark, [(1, 2), (2, 1)])
+    rows = {r["node"]: r["n_reach"] for r in graph.khop_counts(e, hops=2).collect()}
+    assert rows == {1: 2, 2: 2}
+
+
+def test_khop_three_hops_and_duplicate_edges(spark):
+    e = _edges(spark, [(1, 2), (1, 2), (2, 3), (3, 4), (4, 5)])
+    rows = {r["node"]: r["n_reach"] for r in graph.khop_counts(e, hops=3).collect()}
+    assert rows[1] == 3  # {2,3,4}
+    assert rows[2] == 3  # {3,4,5}
+
+
+def test_khop_one_hop_is_out_neighbors(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (1, 2)])
+    rows = {r["node"]: r["n_reach"] for r in graph.khop_counts(e, hops=1).collect()}
+    assert rows == {1: 2}
+
+
 def test_clustering_coefficient_k4(spark):
     nodes = [1, 2, 3, 4]
     e = _edges(spark, [(a, b) for a in nodes for b in nodes if a < b])

@@ -229,6 +229,36 @@ def wcc(
     )
 
 
+def khop_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst", hops: int = 2
+) -> DataFrame:
+    """Directed k-hop neighborhood size → (node, n_reach): the number
+    of DISTINCT nodes reachable from each node in 1..``hops`` steps
+    (self counts only if it sits on a cycle of length ≤ hops).
+
+    Frontier expansion with per-round dedup: round r joins the
+    deduplicated (start, reached) set against the edge list on the
+    reached node and unions the new pairs in — ``hops − 1`` shuffle
+    joins total, each keyed by a node id, with `distinct` capping the
+    pair set at |V|² worst-case but at (avg out-degree)^r in practice.
+    For unbounded reachability use `tripleforge.query`'s path-doubling
+    closure instead (O(log d) rounds); bounded-hop counts keep the
+    per-round frontier explicit, which is the cheaper plan for the
+    small fixed radii (2-3) neighborhood features actually use."""
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    reach = e
+    for _ in range(hops - 1):
+        step = reach.join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+        ).select("a", F.col("c").alias("b"))
+        reach = reach.unionAll(step).distinct()
+    return reach.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_reach")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PageRank (power iteration, dangling-mass aware)
 # ---------------------------------------------------------------------------
