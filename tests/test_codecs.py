@@ -328,8 +328,13 @@ def test_decode_payload_dispatch_and_rejection():
     img = _rng_img(3, 6, 6, 3)
     f = decode_payload(encode_png(img), dim=4)
     np.testing.assert_allclose(f, image_features(img, 4))
-    with pytest.raises(CodecError, match="no pure-stdlib codec"):
+    # a malformed JPEG-ish payload goes down the real JPEG path and
+    # fails loudly there (r5: JPEG is decoded, not rejected wholesale)
+    with pytest.raises(CodecError):
         decode_payload(b"\xff\xd8\xff\xe0 jpeg-ish", dim=4)
+    # codec-less container (MP4 ftyp) stays a loud dispatch rejection
+    with pytest.raises(CodecError, match="no pure-stdlib codec"):
+        decode_payload(bytes(4) + b"ftypisom" + bytes(8), dim=4)
 
 
 # ---------------------------------------------------------------------------

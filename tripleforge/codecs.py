@@ -1,13 +1,15 @@
-"""Pure-stdlib media codecs (r5) — real PNG, GIF, and WAV-PCM decode
-with nothing but ``zlib``/``struct``/numpy, which ARE in this
+"""Pure-stdlib media codecs (r5) — real PNG, GIF, JPEG, and WAV-PCM
+decode with nothing but ``zlib``/``struct``/numpy, which ARE in this
 container.
 
 This closes the VERDICT-r4 "multimodal decode is a stub" gap for every
 format a stdlib codec can express: PNG is zlib-deflate over
 per-scanline-filtered bytes (RFC 2083), GIF is variable-width LZW over
 palette indices (GIF89a spec appendix F — implemented here directly,
-~50 lines), WAV is raw PCM behind a RIFF chunk walk. JPEG/MP4
-genuinely need codec libraries (DCT/H.26x) that the environment lacks;
+~50 lines), baseline JPEG is Huffman + 8×8 DCT (`tripleforge/jpeg.py`
+— tables read from the stream, matrix-form DCT verified against the
+O(n⁴) definition), WAV is raw PCM behind a RIFF chunk walk. MP4/MP3
+genuinely need codec libraries (H.26x/MDCT) the environment lacks;
 those still raise, and ``multimodal.extract_features`` falls back to
 the deterministic fake decoder for them when asked.
 
@@ -466,15 +468,19 @@ def audio_features(samples: np.ndarray, dim: int = 16) -> np.ndarray:
 def decode_payload(payload: bytes, dim: int = 16) -> np.ndarray:
     """Magic-bytes dispatch → real decoded feature vector. Raises
     CodecError for formats whose codecs the environment lacks
-    (JPEG/MP4/MP3) or malformed payloads."""
+    (MP4/MP3 — H.26x/MDCT) or malformed payloads."""
     if payload[:8] == _PNG_SIG:
         return image_features(decode_png(payload), dim)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return image_features(decode_gif(payload).astype(np.float64), dim)
+    if payload[:2] == b"\xff\xd8":
+        from tripleforge.jpeg import decode_jpeg
+
+        return image_features(decode_jpeg(payload).astype(np.float64), dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         _rate, samples = decode_wav(payload)
         return audio_features(samples, dim)
     raise CodecError(
-        "no pure-stdlib codec for this container (JPEG/MP4 need "
+        "no pure-stdlib codec for this container (MP4/MP3 need "
         "external codec libraries absent from this environment)"
     )

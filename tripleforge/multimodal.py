@@ -11,14 +11,14 @@ SOF segments, PNG IHDR, GIF logical screen descriptor, RIFF/WAVE fmt +
 data chunks, RIFF/WEBP VP8x, MP3 ID3/frame-sync, MP4 ftyp), no codec
 library needed.
 
-r5b: DECODE is real too for PNG, GIF, and WAV-PCM
-(``tripleforge.codecs``: zlib/struct are stdlib and LZW is ~50 lines,
-the env needs no image/audio library for those) — ``extract_features``
-produces genuine pixel/sample-derived features for them. JPEG/MP4
-decoding still needs codec libraries the container lacks (DCT/H.26x):
-those payloads raise unless ``fake=True`` selects the deterministic
-digest-seeded fallback vector, which keeps the end-to-end plumbing
-testable for every format.
+r5b: DECODE is real too for PNG, GIF, baseline JPEG, and WAV-PCM
+(``tripleforge.codecs`` + ``tripleforge.jpeg``: zlib/struct/numpy are
+in the container, LZW is ~50 lines, baseline JPEG is Huffman + 8×8
+DCT) — ``extract_features`` produces genuine pixel/sample-derived
+features for them. Only MP4/MP3 decoding still needs codec libraries
+the container lacks (H.26x/MDCT): those payloads raise unless
+``fake=True`` selects the deterministic digest-seeded fallback vector,
+which keeps the end-to-end plumbing testable for every format.
 """
 
 from __future__ import annotations
@@ -267,11 +267,13 @@ def synth_media(docs: DataFrame) -> DataFrame:
 
 
 def synth_decodable_media(docs: DataFrame) -> DataFrame:
-    """REAL decodable fixtures (r5b): even doc_id → an RGB image whose
-    pixels are a deterministic doc_id-seeded gradient (PNG, or a
-    paletted GIF when doc_id % 4 == 2), odd → a 16-bit PCM WAV sine
-    burst. Every payload round-trips exactly through
-    tripleforge.codecs, so feature tests assert genuine decode."""
+    """REAL decodable fixtures (r5b): even doc_id → an image whose
+    pixels are a deterministic doc_id-seeded gradient (paletted GIF
+    when doc_id % 4 == 2, grayscale baseline JPEG when doc_id % 8 == 4,
+    RGB PNG otherwise), odd → a 16-bit PCM WAV sine burst. PNG/GIF/WAV
+    round-trip exactly through tripleforge.codecs (JPEG is lossy by
+    nature but decodes through the same real path), so feature tests
+    assert genuine decode."""
     from tripleforge.codecs import encode_gif, encode_png, encode_wav
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -289,6 +291,14 @@ def synth_decodable_media(docs: DataFrame) -> DataFrame:
                         % 256
                     ).astype(np.uint8)
                     payloads.append(encode_gif(idx, pal))
+                elif did % 8 == 4:
+                    from tripleforge.jpeg import encode_jpeg
+
+                    h, w = 16 + did % 9, 16 + did % 11
+                    i = np.arange(h)[:, None]
+                    j = np.arange(w)[None, :]
+                    px = ((i * 3 + j * 2 + did) % 256).astype(np.uint8)
+                    payloads.append(encode_jpeg(px, quality=92))
                 elif did % 2 == 0:
                     h, w = 8 + did % 5, 8 + did % 7
                     i = np.arange(h)[:, None, None]
@@ -331,9 +341,10 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
 
 
 def decode_stub(payload: bytes, kind: str, dim: int = 16, fake: bool = False) -> np.ndarray:
-    """Real decode where a pure-stdlib codec exists (PNG, GIF, WAV-PCM
-    via tripleforge.codecs); otherwise the deterministic digest-seeded
-    fallback with ``fake=True``, or a loud error without it."""
+    """Real decode where a pure-stdlib codec exists (PNG, GIF,
+    baseline JPEG, WAV-PCM via tripleforge.codecs); otherwise the
+    deterministic digest-seeded fallback with ``fake=True``, or a loud
+    error without it."""
     from tripleforge.codecs import CodecError, decode_payload
 
     try:
@@ -341,10 +352,10 @@ def decode_stub(payload: bytes, kind: str, dim: int = 16, fake: bool = False) ->
     except CodecError:
         if not fake:
             raise NotImplementedError(
-                "no pure-stdlib codec for this payload (JPEG/MP4 need "
-                "PIL/ffmpeg, absent from this container) and it is not a "
-                "decodable PNG/GIF/WAV; pass fake=True for the "
-                "deterministic fallback feature vector"
+                "no pure-stdlib codec for this payload (MP4/MP3 need "
+                "ffmpeg-class libraries, absent from this container) and "
+                "it is not a decodable PNG/GIF/JPEG/WAV; pass fake=True "
+                "for the deterministic fallback feature vector"
             )
         return _fake_decode(payload, dim)
 
