@@ -357,6 +357,16 @@ def main() -> int:
         ],
     )
     audit(
+        "graph_khop_equi_joins",
+        graph_mod.khop_counts(plain_edges, hops=3),
+        [
+            ("no Python eval", r"EvalPython|MapInPandas", False),
+            ("no cartesian product", r"CartesianProduct", False),
+            ("no broadcast nested loop", r"BroadcastNestedLoopJoin", False),
+            ("aggregated counts", r"HashAggregate", True),
+        ],
+    )
+    audit(
         "graph_pagerank_jvm_only",
         em.q_graph_pagerank(spark, SF),
         [
