@@ -423,6 +423,37 @@ def test_sniff_bytes_magic_numbers():
     assert sniff_bytes(b"") == (None, "application/octet-stream", None, None, None)
 
 
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def test_sniff_mp4_moov_walk():
+    """r5: MP4 duration/dimensions from a hand-built moov (mvhd v0 +
+    trak/tkhd) — the ISO BMFF box walk, still no codec."""
+    from tripleforge.multimodal import sniff_bytes
+
+    mvhd = (bytes(4)  # version 0 + flags
+            + bytes(8)  # ctime, mtime
+            + (1000).to_bytes(4, "big")  # timescale
+            + (12500).to_bytes(4, "big")  # duration -> 12500 ms
+            + bytes(80))
+    tkhd = (bytes(4) + bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+            + bytes(4)  # duration
+            + bytes(8) + bytes(8) + bytes(36)  # reserved/layer/matrix
+            + (1280 << 16).to_bytes(4, "big")
+            + (720 << 16).to_bytes(4, "big"))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd)))
+    mp4 = _box(b"ftyp", b"isom" + bytes(8)) + moov
+    assert sniff_bytes(mp4) == ("video", "video/mp4", 1280, 720, 12500)
+
+    # 64-bit largesize moov wrapper parses identically
+    large = ((1).to_bytes(4, "big") + b"moov"
+             + (16 + len(_box(b"mvhd", mvhd))).to_bytes(8, "big")
+             + _box(b"mvhd", mvhd))
+    mp4b = _box(b"ftyp", b"isom" + bytes(8)) + large
+    assert sniff_bytes(mp4b) == ("video", "video/mp4", None, None, 12500)
+
+
 def test_sniff_metadata_end_to_end(spark):
     """synth_media -> sniff_metadata round-trips the header values the
     synthesizer encoded, through the Arrow kernel (distributed path)."""

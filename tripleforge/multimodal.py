@@ -145,6 +145,61 @@ def _sniff_wav(b: bytes):
     return None
 
 
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """ISO BMFF box iterator over b[start:end] → (type, body_start,
+    box_end); handles 64-bit largesize and size-0 (to end) boxes."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        btype = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def _sniff_mp4(b: bytes):
+    """moov walk: duration from mvhd (duration/timescale), dimensions
+    from the first trak's tkhd 16.16 fixed-point width/height — the
+    container's own metadata, no codec involved (r5: was ftyp-only)."""
+    dur_ms = None
+    w = h = None
+    for t, s, e in _mp4_boxes(b, 0, len(b)):
+        if t != b"moov":
+            continue
+        for t2, s2, e2 in _mp4_boxes(b, s, e):
+            if t2 == b"mvhd" and dur_ms is None and e2 > s2:
+                ver = b[s2]
+                if ver == 1 and e2 - s2 >= 32:
+                    ts = int.from_bytes(b[s2 + 20 : s2 + 24], "big")
+                    dur = int.from_bytes(b[s2 + 24 : s2 + 32], "big")
+                elif ver == 0 and e2 - s2 >= 20:
+                    ts = int.from_bytes(b[s2 + 12 : s2 + 16], "big")
+                    dur = int.from_bytes(b[s2 + 16 : s2 + 20], "big")
+                else:
+                    continue
+                if ts:
+                    dur_ms = dur * 1000 // ts
+            elif t2 == b"trak" and w is None:
+                for t3, s3, e3 in _mp4_boxes(b, s2, e2):
+                    if t3 == b"tkhd" and e3 > s3:
+                        off = s3 + (76 if b[s3] == 0 else 88)
+                        if e3 >= off + 8:
+                            tw = int.from_bytes(b[off : off + 4], "big") >> 16
+                            th = int.from_bytes(b[off + 4 : off + 8], "big") >> 16
+                            if tw and th:
+                                w, h = tw, th
+    return w, h, dur_ms
+
+
 def sniff_bytes(b: bytes) -> tuple:
     """(kind, mime, width, height, duration_ms) from container headers.
     Unknown containers → (None, 'application/octet-stream', …)."""
@@ -169,7 +224,8 @@ def sniff_bytes(b: bytes) -> tuple:
     ):
         return ("audio", "audio/mpeg", None, None, None)
     if len(b) >= 12 and b[4:8] == b"ftyp":
-        return ("video", "video/mp4", None, None, None)
+        w, h, dur = _sniff_mp4(b)
+        return ("video", "video/mp4", w, h, dur)
     return (None, "application/octet-stream", None, None, None)
 
 
