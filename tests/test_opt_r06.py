@@ -103,6 +103,64 @@ def test_quality_score_positive_class_counts(spark):
 
 
 # ---------------------------------------------------------------------------
+# shingles: one-pass regex extraction == transform/slice/array_join
+# ---------------------------------------------------------------------------
+def test_shingles_regex_equals_slice_join(spark):
+    texts = [
+        "one two three four five six seven",      # > k tokens
+        "a b c d e",                              # exactly k
+        "too short",                              # < k → full-text fallback
+        "",                                       # empty
+        "  Mixed   CASE \t whitespace  runs x y z q",  # normalization
+        "dup dup dup dup dup dup dup",            # duplicate shingles
+        "unicode é ü tokens — mixed in here ok",  # non-ASCII inside tokens
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    k = 5
+    toks = text.tokens(F.col("t"))
+    old = F.array_distinct(
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+    bad = df.where(text.shingles(F.col("t"), k) != old).count()
+    assert bad == 0
+    # and k=2 (the rolling-fingerprint family uses other widths)
+    old2 = F.array_distinct(
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+                lambda i: F.array_join(F.slice(toks, i, 2), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+    assert df.where(text.shingles(F.col("t"), 2) != old2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# block_and_cap: anti-join-on-hot == count-join-filter
+# ---------------------------------------------------------------------------
+def test_block_and_cap_anti_join_equivalence(spark):
+    from tripleforge.link import block_and_cap
+
+    rows = [(i, "hot") for i in range(50)] + [
+        (100 + i, f"k{i % 7}") for i in range(40)
+    ] + [(200, "solo")]
+    df = spark.createDataFrame(rows, "id long, key string")
+    capped = block_and_cap(df, ["key"], max_block=10)
+    got = sorted(r["id"] for r in capped.collect())
+    # "hot" (50 members) dropped; k0..k6 (≤6 members each) and solo kept
+    assert got == sorted([100 + i for i in range(40)] + [200])
+    # left schema preserved
+    assert capped.columns == ["id", "key"]
+
+
+# ---------------------------------------------------------------------------
 # widen_if_narrow: guard behavior
 # ---------------------------------------------------------------------------
 def test_widen_if_narrow(spark, tmp_path):

@@ -79,14 +79,21 @@ def candidate_edges(
 # ---------------------------------------------------------------------------
 def block_and_cap(df: DataFrame, key: list[str], max_block: int) -> DataFrame:
     """Drop pathological key blocks (> ``max_block`` members) — typically
-    junk join values (empty strings, "N/A"). Count-join-filter: two
-    shuffles on the same key, no window over a hot partition."""
+    junk join values (empty strings, "N/A").
+
+    r6 (guide §3.1/§2.3): anti-join against the HOT keys only. The
+    count aggregate is unavoidable (one shuffle on the key), but the
+    old count-join-filter then inner-joined the FULL counts table back
+    onto ``df`` — a second full-width shuffle join just to read a flag.
+    Blocks over the cap are by construction rare (≤ n/max_block of
+    them), so ``hot`` is tiny and AQE plans the anti-join as a
+    broadcast — ``df`` itself is never shuffled for the cap. Worst
+    case (adversarial corpus where hot is large) AQE falls back to the
+    same shuffle join the old code always paid. Output rows identical;
+    column order now preserved (anti-join keeps the left schema)."""
     counts = df.groupBy(*key).agg(F.count(F.lit(1)).alias("_blk_n"))
-    return (
-        df.join(counts, key)
-        .where(F.col("_blk_n") <= F.lit(max_block))
-        .drop("_blk_n")
-    )
+    hot = counts.where(F.col("_blk_n") > F.lit(max_block)).select(*key)
+    return df.join(hot, key, "left_anti")
 
 
 # ---------------------------------------------------------------------------
