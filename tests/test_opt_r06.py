@@ -156,8 +156,8 @@ def test_block_and_cap_anti_join_equivalence(spark):
     got = sorted(r["id"] for r in capped.collect())
     # "hot" (50 members) dropped; k0..k6 (≤6 members each) and solo kept
     assert got == sorted([100 + i for i in range(40)] + [200])
-    # left schema preserved
-    assert capped.columns == ["id", "key"]
+    # same column layout as the old count-join-filter (join key first)
+    assert capped.columns == ["key", "id"]
 
 
 # ---------------------------------------------------------------------------

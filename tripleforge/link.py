@@ -89,8 +89,8 @@ def block_and_cap(df: DataFrame, key: list[str], max_block: int) -> DataFrame:
     them), so ``hot`` is tiny and AQE plans the anti-join as a
     broadcast — ``df`` itself is never shuffled for the cap. Worst
     case (adversarial corpus where hot is large) AQE falls back to the
-    same shuffle join the old code always paid. Output rows identical;
-    column order now preserved (anti-join keeps the left schema)."""
+    same shuffle join the old code always paid. Output rows and column
+    layout identical (both forms put the join key first)."""
     counts = df.groupBy(*key).agg(F.count(F.lit(1)).alias("_blk_n"))
     hot = counts.where(F.col("_blk_n") > F.lit(max_block)).select(*key)
     return df.join(hot, key, "left_anti")
