@@ -437,6 +437,11 @@ _NEEDS_WORK_RE2 = (
     "|^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([?#]|$)"
 )
 _NON_ASCII_RE2 = "[^\\x00-\\x7f]"
+# r6: ONE scan instead of two — the union of _NEEDS_WORK_RE2 and
+# _NON_ASCII_RE2 as alternation (identical match set; RE2 compiles the
+# union to a single DFA, halving the per-column regex passes in the
+# fused parse+canon stage).
+_IRI_WORK_RE2 = f"(?:{_NEEDS_WORK_RE2})|(?:{_NON_ASCII_RE2})"
 _CANON_INT_RE2 = "^(0|-?[1-9][0-9]*)$"
 
 
@@ -462,13 +467,7 @@ def _norm_iri_arrow(arr):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    mask = pc.fill_null(
-        pc.or_(
-            pc.match_substring_regex(arr, _NEEDS_WORK_RE2),
-            pc.match_substring_regex(arr, _NON_ASCII_RE2),
-        ),
-        False,
-    )
+    mask = pc.fill_null(pc.match_substring_regex(arr, _IRI_WORK_RE2), False)
     return _replace_masked(arr, mask, normalize_iri_str)
 
 
@@ -489,17 +488,26 @@ def canonicalize_table(tbl):
     is_iri = pc.fill_null(pc.equal(kind, "iri"), False)
     iri_mask = pc.and_(
         is_iri,
-        pc.fill_null(
-            pc.or_(
-                pc.match_substring_regex(obj, _NEEDS_WORK_RE2),
-                pc.match_substring_regex(obj, _NON_ASCII_RE2),
-            ),
-            False,
-        ),
+        pc.fill_null(pc.match_substring_regex(obj, _IRI_WORK_RE2), False),
     )
     obj = _replace_masked(obj, iri_mask, normalize_iri_str)
+    # r6 (guide §1.2 per-task work): dictionary-encode obj_dt once, then
+    # dispatch on the handful of DISTINCT datatypes actually present —
+    # the old loop string-compared the full obj_dt column against all
+    # 21 canonicalizable datatype IRIs (21 × 40-byte compares per row);
+    # now absent datatypes cost nothing and present ones an int32
+    # compare over the index array. Masks (and therefore outputs) are
+    # identical.
+    if isinstance(dt, pa.ChunkedArray):
+        dt = dt.combine_chunks()
+    dt_dict = dt.dictionary_encode()
+    present = {v: i for i, v in enumerate(dt_dict.dictionary.to_pylist())}
+    indices = dt_dict.indices
     for dtype, fn in _CANON_FNS.items():
-        m = pc.fill_null(pc.equal(dt, dtype), False)
+        idx = present.get(dtype)
+        if idx is None:
+            continue
+        m = pc.fill_null(pc.equal(indices, idx), False)
         if dtype == XSD_INTEGER:
             m = pc.and_(
                 m,
@@ -512,13 +520,7 @@ def canonicalize_table(tbl):
     graph = tbl.column("graph")
     g_mask = pc.and_(
         graph.is_valid() if not isinstance(graph, pa.ChunkedArray) else pc.is_valid(graph),
-        pc.fill_null(
-            pc.or_(
-                pc.match_substring_regex(graph, _NEEDS_WORK_RE2),
-                pc.match_substring_regex(graph, _NON_ASCII_RE2),
-            ),
-            False,
-        ),
+        pc.fill_null(pc.match_substring_regex(graph, _IRI_WORK_RE2), False),
     )
     graph = _replace_masked(graph, g_mask, normalize_iri_str)
 

