@@ -57,6 +57,21 @@ def get_spark(
     if master is not None:
         builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
+    # r6 (guide §6): floor the SCAN parallelism at the local core count.
+    # The sf fixtures are single parquet files (25-130 MB), so with the
+    # default 128 MB maxPartitionBytes every scan — and the map side of
+    # every shuffle it feeds — ran as 1-2 tasks on a 32-core box.
+    # minPartitionNum only LOWERS the split size when the input would
+    # otherwise produce fewer splits than cores (splitting still lands
+    # on parquet row-group boundaries); at 100 TB inputs
+    # totalBytes/minPartitionNum >> maxPartitionBytes, so split sizing
+    # is governed by maxPartitionBytes exactly as before — this cannot
+    # shrink partitions at scale. Derived from the master, not
+    # hard-coded; clusters (non-local masters) are untouched.
+    if master and master.startswith("local["):
+        n = master[len("local["):-1]
+        if n.isdigit():
+            confs.setdefault("spark.sql.files.minPartitionNum", n)
     if extra_conf:
         confs.update(extra_conf)
     for k, v in confs.items():
