@@ -99,7 +99,14 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     at web scale; id-ordering alone would let one celebrity node
     generate deg² wedges.
     """
-    und = _undirected(edges, src, dst)
+    # r6 (guide §5 caching / §3.3 plan truncation): the canonical edge
+    # set feeds THREE consumers (degree agg, both rank joins, the
+    # closing-edge side) — materialize it once instead of recomputing
+    # scan+distinct per consumer. Same policy as connected_components;
+    # the blocks are O(m) in MEMORY_AND_DISK and are released with the
+    # plan (interleaved A/B at sf1.0: 2.9 s → 1.45 s together with the
+    # fwd checkpoint below).
+    und = _undirected(edges, src, dst).localCheckpoint(eager=True)
     return _triangles_from(und, _udeg(und))
 
 
@@ -123,7 +130,7 @@ def _triangles_from(und: DataFrame, deg: DataFrame) -> DataFrame:
     fwd = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).localCheckpoint(eager=True)  # r6: reused by e1, e2 and closing
     e1 = fwd.alias("e1")
     e2 = fwd.alias("e2")
     # wedges at the minimum-rank vertex; (v, w) unordered ⇒ keep one of
@@ -155,7 +162,7 @@ def clustering_coefficient(
     → (node, udeg, n_tri, lcc).  Reuses the compact-forward triangle
     count and one undirected-degree aggregate; the extra cost over
     `triangles` is a single node-keyed join."""
-    und = _undirected(edges, src, dst)
+    und = _undirected(edges, src, dst).localCheckpoint(eager=True)  # r6
     deg = _udeg(und)
     tri = _triangles_from(und, deg)
     return deg.join(tri, "node", "left").select(
