@@ -187,8 +187,12 @@ def jaccard_pairs(
     corpus scale (AQE skew-join remains the backstop).
     """
     # the posting list feeds 4 downstream branches (sizes, cap counts,
-    # both join sides) — share so tokenize+shingle runs once, not 4×
-    posting = _share(_shingle_posting(df, id_col, text_col, k))
+    # both join sides) — share so tokenize+shingle runs once, not 4×.
+    # r6: eager, like minhash — lazily-checkpointed blocks only land as
+    # each consumer stage's tasks compute them, so concurrently
+    # scheduled sibling stages re-ran the shingle lineage (A/B at
+    # sf1.0: 3.4 s → 2.8 s).
+    posting = _share(_shingle_posting(df, id_col, text_col, k), eager=True)
     sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     capped = block_and_cap(posting, ["sh"], max_posting)
     a = capped.withColumnRenamed("doc", "doc_a")
@@ -511,8 +515,10 @@ LANG_MARKERS: dict[str, str] = {
 
 def lang_scores(col: Column) -> dict[str, Column]:
     t = F.lower(col)
+    # r6: regexp_count — same match count as size(regexp_extract_all)
+    # without materializing the match array per row (guide §1.2)
     return {
-        lang: F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        lang: F.regexp_count(t, F.lit(pat))
         for lang, pat in LANG_MARKERS.items()
     }
 
@@ -592,8 +598,9 @@ def pii_counts(col: Column) -> dict[str, Column]:
     the filter signal for dropping PII-heavy documents. Kinds overlap
     by design (an email's dotted digits may also count as an IP);
     counts are per-pattern, not post-redaction."""
+    # r6: regexp_count (same values, no per-row match array — guide §1.2)
     return {
-        kind: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        kind: F.regexp_count(col, F.lit(pat))
         for kind, pat, _ in PII_PATTERNS
     }
 
@@ -623,11 +630,13 @@ def gopher_rules(col: Column) -> dict[str, Column]:
     ws = tokens(col)
     wc = F.size(ws)
     wc_d = wc.cast("double")
+    # r6 (guide §1.2): Σ len(word) == len(norm_text) − (wc − 1) because
+    # the normalized text is exactly the words joined by single spaces —
+    # one length() instead of an interpreted aggregate() over the token
+    # array; integer-exact, so the rounded ratio is bit-identical.
     mean_wl = F.when(
         wc > 0,
-        F.aggregate(
-            ws, F.lit(0.0), lambda acc, w: acc + F.length(w)
-        ) / wc_d,
+        (F.length(norm_text(col)) - wc + 1) / wc_d,
     ).otherwise(F.lit(0.0))
     alpha_ratio = F.when(
         wc > 0,
@@ -635,7 +644,7 @@ def gopher_rules(col: Column) -> dict[str, Column]:
     ).otherwise(F.lit(0.0))
     symbol_ratio = F.when(
         wc > 0,
-        F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\.|…"), 0)) / wc_d,
+        F.regexp_count(col, F.lit(r"#|\.\.\.|…")) / wc_d,
     ).otherwise(F.lit(0.0))
     stop_hits = F.size(
         F.filter(
