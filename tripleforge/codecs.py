@@ -433,7 +433,13 @@ def image_features(px: np.ndarray, dim: int = 16) -> np.ndarray:
     """Decoded pixels → fixed-dim feature: grayscale block-average over
     a √dim×√dim grid, normalized to [0, 1]. Deterministic."""
     if px.ndim == 3:
-        px = px[..., :3].mean(axis=2)  # drop alpha, luma-average
+        if px.shape[2] == 2:
+            # grayscale+alpha (PNG color type 4): luma is channel 0 —
+            # averaging in the alpha channel made the feature shift
+            # with transparency instead of pixel content (ADVICE r5)
+            px = px[..., 0]
+        else:
+            px = px[..., :3].mean(axis=2)  # drop alpha, luma-average
     g = int(np.sqrt(dim))
     if g * g != dim:
         raise CodecError(f"image_features: dim {dim} is not a square")

@@ -174,6 +174,7 @@ def _nt_to_rdfxml(nt_lines: list[str]) -> str:
             bad.append(ln)
             continue
         s, p, o_iri, o_lit, o_dt, o_lang = m.groups()
+        o_lit = _unlit(o_lit)
         ns, local = _split_iri(p)
         if o_iri is not None:
             body = f'<n:{local} xmlns:n="{ns}" rdf:resource="{o_iri}"/>'
@@ -217,6 +218,7 @@ def _nt_to_jsonld(nt_lines: list[str]) -> str:
             bad.append(ln)
             continue
         s, p, o_iri, o_lit, o_dt, o_lang = m.groups()
+        o_lit = _unlit(o_lit)
         node: dict = {"@id": s}
         if p == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" and o_iri:
             node["@type"] = [o_iri]
@@ -257,6 +259,7 @@ def _nt_to_trix(nt_lines: list[str], graph: str) -> str:
             bad.append(ln)
             continue
         s, p, o_iri, o_lit, o_dt, o_lang = m.groups()
+        o_lit = _unlit(o_lit)
         if o_iri is not None:
             obj = f"<uri>{_x(o_iri)}</uri>"
         elif o_dt:
@@ -275,6 +278,19 @@ def _nt_to_trix(nt_lines: list[str], graph: str) -> str:
     if bad:
         doc = "".join(bad) + doc
     return doc
+
+
+def _unlit(o_lit: str | None) -> str | None:
+    """NT-escaped lexical form → raw literal value (ADVICE r5: the
+    converters embedded the ESCAPED form into TriX/RDF-XML/JSON-LD, so
+    a literal containing \\n or \\" was semantically different across
+    the format variants; the corpora never emitted escapes, so this is
+    a latent-correctness fix with unchanged fixture output)."""
+    if o_lit is not None and "\\" in o_lit:
+        from tripleforge.parse.common import _unescape_one
+
+        return _unescape_one(o_lit)
+    return o_lit
 
 
 def _split_iri(iri: str) -> tuple[str, str]:

@@ -58,6 +58,17 @@ def write_state(
     fps = doc_fingerprints(docs, id_col, text_col)
     mh = minhash_doc_state(docs, id_col, text_col, n_hashes=n_hashes)
     if prior_dir is not None:
+        if os.path.realpath(state_dir) == os.path.realpath(prior_dir):
+            # ADVICE r5 (medium): mode("overwrite") deletes the
+            # directory the lazy union is still READING — the job dies
+            # and the committed state is destroyed. Refuse loudly; the
+            # caller chains waves into a NEW directory (or copies).
+            raise ValueError(
+                "write_state: state_dir and prior_dir are the same "
+                f"directory ({state_dir!r}); overwrite would delete the "
+                "prior state while it is being read. Write the merged "
+                "state to a fresh directory."
+            )
         fps = spark_read(docs.sparkSession, prior_dir, FP_DIR).unionByName(fps)
         mh = spark_read(docs.sparkSession, prior_dir, MINHASH_DIR).unionByName(mh)
     fps.write.mode("overwrite").parquet(os.path.join(state_dir, FP_DIR))

@@ -430,25 +430,62 @@ def execute_update(
                 # provides the templates' default graph
                 where_dataset = using
             elif with_graph is not None:
+                # WITH <g> scopes the WHOLE WHERE clause (§3.1.3), so
+                # the graph injection must recurse through every
+                # block-scoped op list — MINUS/EXISTS/OPTIONAL blocks,
+                # nested-UNION arms and subqueries — mirroring
+                # _dataset_rewrite_group's traversal (ADVICE r5: the
+                # shallow rewrite left g=None inside MINUS/EXISTS, so a
+                # `WITH <g> DELETE … WHERE { … MINUS {…} }` matched the
+                # negation against ALL graphs).
                 def inject(pts):
                     return [
                         Pattern(s=pt.s, p=pt.p, o=pt.o, g=pt.g or with_graph)
                         for pt in pts
                     ]
 
-                groups = [
-                    (
-                        inject(patterns),
-                        ops,
+                def inject_op(o):
+                    if o[0] == "minus":
+                        return ("minus", inject(o[1]),
+                                inject_ops(o[2]) if len(o) > 2 else [],
+                                *o[3:])
+                    if o[0] == "exists":
+                        return ("exists", inject(o[1]), o[2],
+                                inject_ops(o[3]) if len(o) > 3 else [],
+                                *o[4:])
+                    if o[0] == "optional":
+                        return ("optional", inject(o[1]),
+                                inject_ops(o[2]) if len(o) > 2 else [],
+                                *o[3:])
+                    if o[0] == "union":
+                        return ("union", [inject_group(a) for a in o[1]])
+                    if o[0] == "subquery":
+                        projected, sgroups, smods, sdistinct = o[1]
+                        return ("subquery", (
+                            projected,
+                            [inject_group(g) for g in sgroups],
+                            smods, sdistinct,
+                        ))
+                    return o
+
+                def inject_ops(ops_):
+                    return [inject_op(o) for o in ops_]
+
+                def inject_group(grp):
+                    gpat, gops, gopts = grp
+                    return (
+                        inject(gpat),
+                        inject_ops(gops),
                         [
-                            (inject(e[0]), e[1])
+                            (inject(e[0]),
+                             inject_ops(e[1]) if e[1] is not None else None)
                             if isinstance(e, tuple)
                             else inject(e)
-                            for e in opt_blocks
+                            for e in gopts
                         ],
                     )
-                    for patterns, ops, opt_blocks in groups
-                ]
+
+                groups = [inject_group(g) for g in groups]
         # evaluation/construct helpers live in tripleforge.sparql —
         # imported at call time to keep the module DAG acyclic
         from tripleforge.sparql import _instantiate, _solutions
