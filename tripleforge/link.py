@@ -227,7 +227,10 @@ def connected_components(
             F.col("u").alias("member"), F.col("v").alias("representative")
         )
     if n_edges <= driver_threshold and n_bytes <= driver_max_bytes:
-        mapping = _union_find_local([(r["u"], r["v"]) for r in cur.collect()])
+        # r6: Arrow download (toPandas) instead of row-pickled collect —
+        # same rows, columnar transfer (guide §6)
+        pdf = cur.toPandas()
+        mapping = _union_find_local(list(zip(pdf["u"], pdf["v"])))
         # r6 (guide §6 Arrow driver transfers): ship the mapping back as
         # a pandas frame — with arrow.pyspark.enabled the conversion is
         # columnar instead of row-pickled (measured 0.59 s → 0.23 s for
