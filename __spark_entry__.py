@@ -1237,12 +1237,17 @@ def _docs_wide(spark, sf):
 
 
 def q_dedup_exact(spark, sf):
-    d = _docs_wide(spark, sf)
+    # NOT widened (r6): md5 fingerprinting is ~10× cheaper per byte
+    # than the regex projections, so the widening exchange costs more
+    # than the narrow map stage it parallelizes (measured: sf0.1
+    # 0.18 s → 0.47 s widened; sf1.0 break-even). The groupBy shuffle
+    # that follows spreads the aggregate across cores regardless.
+    d = read_table(spark, sf, "documents")
     return text.exact_dedup(d)
 
 
 def q_fingerprint(spark, sf):
-    d = _docs_wide(spark, sf)
+    d = read_table(spark, sf, "documents")  # see q_dedup_exact
     return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
 
 
